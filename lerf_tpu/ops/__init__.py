@@ -1,0 +1,31 @@
+"""Resampling core ops: geometry precompute, steerable/fixed resize & warp,
+4D-simplex LUT runtime, mode/rotation ensembles, Pallas kernels."""
+
+from .geometry import ResizeGeometry, WarpGeometry, resolve_scale_and_out_sz
+from .resample import (
+    amplified_linear_resize,
+    amplified_linear_warp,
+    fixed_kernel_resize,
+    fixed_kernel_warp,
+    nearest_warp_mask,
+    steering_gaussian_resize,
+    steering_gaussian_warp,
+)
+from .simplex import round_half_even_div, simplex4d
+from .lut_pipeline import (
+    MODE_OFFSETS,
+    MODE_PAD,
+    lut_ensemble,
+    lut_stage1,
+    lut_stage2,
+    split_gaussian_hyper,
+)
+
+__all__ = [
+    "ResizeGeometry", "WarpGeometry", "resolve_scale_and_out_sz",
+    "steering_gaussian_resize", "amplified_linear_resize",
+    "fixed_kernel_resize", "steering_gaussian_warp", "amplified_linear_warp",
+    "fixed_kernel_warp", "nearest_warp_mask", "simplex4d",
+    "round_half_even_div", "lut_ensemble", "lut_stage1", "lut_stage2",
+    "split_gaussian_hyper", "MODE_OFFSETS", "MODE_PAD",
+]

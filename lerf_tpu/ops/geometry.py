@@ -1,0 +1,198 @@
+"""Host-side resampling geometry precompute.
+
+All geometry (projected grids, fields of view, pad vectors, neighbor
+distances) is computed once per (in_shape, out_shape) pair on the host in
+numpy float64 and handed to the jitted device functions as static-shaped
+arrays.  This mirrors — and is bit-parity tested against — the reference
+precompute in ``resize_right/resize_right2d_numpy.py`` (``set_shape`` /
+``get_projected_grid2d`` / ``get_field_of_view2d`` / ``calc_pad_sz`` /
+``get_distance``, lines 18-140 for resize and 292-407 for warp).
+
+TPU-first redesign notes
+------------------------
+* For scale-resize the field of view is **separable**: the neighbor row
+  index depends only on the output row, the column index only on the output
+  column.  We therefore store per-axis ``fov``/``dis`` arrays of shape
+  ``[out, support]`` instead of the reference's materialized
+  ``[outH*S, outW*S]`` lattices — the device gather becomes two cheap
+  axis-takes instead of one giant 2-D fancy-index.
+* For homographic warp the projection is genuinely per-pixel, but it is
+  still separable *per neighbor axis*: we store ``[outH, outW, S]`` row and
+  column candidates and form flat gather indices once on the host.
+* The reference's quirks are reproduced deliberately (documented inline):
+  clamped non-negative warp padding, field-of-view clipping to the
+  *unpadded* input bounds, grid clipping to ``[0, in_sz]`` (inclusive), and
+  anti-aliasing only on the numpy/deploy path.
+"""
+from __future__ import annotations
+
+import dataclasses
+from math import ceil
+from typing import Sequence
+
+import numpy as np
+
+_EPS = float(np.finfo(np.float32).eps)
+
+
+def resolve_scale_and_out_sz(in_sz, scale_factors=None, out_sz=None):
+    """Resolve (scale_h, scale_w), (outH, outW) from either spec.
+
+    Parity: reference ``set_scale_and_out_sz`` (resize_right2d_numpy.py:25-49).
+    ``in_sz``/``out_sz`` are spatial-only ``(H, W)`` pairs.
+    """
+    if out_sz is not None:
+        out_sz = tuple(int(s) for s in out_sz)
+        if scale_factors is None:
+            scale_factors = [o / i for o, i in zip(out_sz, in_sz)]
+    if scale_factors is not None:
+        if not isinstance(scale_factors, (list, tuple)):
+            scale_factors = [scale_factors, scale_factors]
+        scale_factors = [float(s) for s in scale_factors]
+        if out_sz is None:
+            out_sz = tuple(ceil(s * i) for s, i in zip(scale_factors, in_sz))
+    if scale_factors is None or out_sz is None:
+        raise ValueError("need scale_factors and/or out_sz")
+    return tuple(scale_factors), tuple(out_sz)
+
+
+def _resize_axis(in_sz: int, out_sz: int, scale: float, support: int):
+    """Per-axis projected grid / field-of-view / pad / distances.
+
+    Parity: resize_right2d_numpy.py:57-104.  Projection formula
+    ``g(o) = o/s + (in-1)/2 - (out-1)/(2s)`` computed in float64 (the
+    reference numpy path uses float64 arange).  Pad may be negative
+    (crop) — the resize path does NOT clamp it (numpy ref line 101).
+    """
+    grid = (np.arange(out_sz, dtype=np.float64) / scale
+            + (in_sz - 1) / 2.0 - (out_sz - 1) / (2.0 * scale))
+    left = np.ceil(grid - support / 2.0 - _EPS).astype(np.int64)
+    fov = left[:, None] + np.arange(support, dtype=np.int64)[None, :]
+    pad0 = int(-fov[0, 0])
+    pad1 = int(fov[-1, -1] - in_sz + 1)
+    fov = fov + pad0
+    dis = (grid[:, None] + pad0) - fov
+    return fov.astype(np.int32), dis, (pad0, pad1)
+
+
+@dataclasses.dataclass(frozen=True)
+class ResizeGeometry:
+    """Static geometry for one (in_shape, scale/out_shape) resize config."""
+    in_sz: tuple          # (H, W)
+    out_sz: tuple         # (outH, outW)
+    scale: tuple          # (scale_h, scale_w)
+    support: int          # effective support size (after anti-alias inflate)
+    base_support: int
+    antialias: bool
+    min_scale: float
+    fov_x: np.ndarray     # [outH, S] int32 — row indices into padded image
+    fov_y: np.ndarray     # [outW, S] int32
+    dis_x: np.ndarray     # [outH, S] float64
+    dis_y: np.ndarray     # [outW, S] float64
+    pad_x: tuple          # (top, bottom), may be negative (crop)
+    pad_y: tuple          # (left, right)
+
+    @classmethod
+    def create(cls, in_sz: Sequence[int], scale_factors=None, out_sz=None,
+               support: int = 2, antialias: bool = True):
+        """Build geometry.
+
+        ``antialias=True`` reproduces the numpy deploy path: on downscale the
+        support inflates by 1/min_scale and weights are evaluated at scaled
+        distances (resize_right2d_numpy.py:51-55,186-193).  Pass
+        ``antialias=False`` for the torch-training-path semantics where
+        anti-aliasing is hard-disabled (resize_right2d_torch.py:42-46).
+        """
+        in_sz = tuple(int(s) for s in in_sz)
+        scale, out = resolve_scale_and_out_sz(in_sz, scale_factors, out_sz)
+        base_support = support
+        aa = False
+        min_scale = 1.0
+        if antialias and (scale[0] < 1.0 or scale[1] < 1.0):
+            aa = True
+            min_scale = min(scale)
+            support = ceil(support / min_scale)
+        fov_x, dis_x, pad_x = _resize_axis(in_sz[0], out[0], scale[0], support)
+        fov_y, dis_y, pad_y = _resize_axis(in_sz[1], out[1], scale[1], support)
+        return cls(in_sz=in_sz, out_sz=out, scale=scale, support=support,
+                   base_support=base_support, antialias=aa,
+                   min_scale=min_scale, fov_x=fov_x, fov_y=fov_y,
+                   dis_x=dis_x, dis_y=dis_y, pad_x=pad_x, pad_y=pad_y)
+
+
+def _warp_grid(matrix: np.ndarray, in_sz, out_sz):
+    """Inverse-homography projected grid, float64.
+
+    Parity: resize_right2d_numpy.py:306-342 — build output pixel coords,
+    flip (h,w)->(x,y), multiply by inv(matrix) with homogeneous divide, flip
+    back, clip to ``[0, in_sz]`` (note: inclusive upper bound ``in_sz``,
+    not ``in_sz-1`` — reference line 338).
+    Returns grid_x, grid_y of shape [outH, outW].
+    """
+    oh, ow = out_sz
+    ys, xs = np.meshgrid(np.arange(oh, dtype=np.float64),
+                         np.arange(ow, dtype=np.float64), indexing="ij")
+    # (x, y) order for the homography: x = width coord, y = height coord
+    ones = np.ones_like(xs)
+    pts = np.stack([xs.ravel(), ys.ravel(), ones.ravel()], axis=0)  # [3, N]
+    inv = np.linalg.inv(np.asarray(matrix, dtype=np.float64))
+    src = inv @ pts
+    src_x = src[0] / src[2]   # width coordinate in input
+    src_y = src[1] / src[2]   # height coordinate in input
+    grid_x = src_y.reshape(oh, ow).clip(0, in_sz[0])  # row coordinate
+    grid_y = src_x.reshape(oh, ow).clip(0, in_sz[1])  # col coordinate
+    return grid_x, grid_y
+
+
+def _warp_axis(grid: np.ndarray, in_sz: int, support: int):
+    """FOV / clamped pad / clipped indices / distances for one warp axis.
+
+    Parity: resize_right2d_numpy.py:344-407.  Pad is clamped non-negative
+    (line 365) and the field of view is clipped to the *unpadded* input
+    bounds ``[0, in_sz-1]`` AFTER the pad offset is applied (line 397) —
+    out-of-view gathers land on arbitrary in-range pixels and are later
+    suppressed by near-zero weights / the validity mask.  Reproduced as-is.
+    """
+    left = np.ceil(grid - support / 2.0 - _EPS).astype(np.int64)
+    fov = left[..., None] + np.arange(support, dtype=np.int64)
+    pad0 = int(max(-fov[0, 0, 0], 0))
+    pad1 = int(max(fov[-1, -1, -1] - in_sz + 1, 0))
+    fov = fov + pad0
+    fov_clipped = fov.clip(0, in_sz - 1)
+    dis = (grid[..., None] + pad0) - fov_clipped
+    return fov_clipped.astype(np.int32), dis, (pad0, pad1)
+
+
+@dataclasses.dataclass(frozen=True)
+class WarpGeometry:
+    """Static geometry for one (in_shape, homography, out_shape) config."""
+    in_sz: tuple
+    out_sz: tuple
+    support: int
+    fov_x: np.ndarray    # [outH, outW, S] int32 row candidates (clipped)
+    fov_y: np.ndarray    # [outH, outW, S] int32 col candidates (clipped)
+    lin_idx: np.ndarray  # [outH, outW, S, S] int32 flat indices into padded img
+    dis_x: np.ndarray    # [outH, outW, S] float64
+    dis_y: np.ndarray    # [outH, outW, S] float64
+    pad_x: tuple         # (top, bottom) >= 0
+    pad_y: tuple         # (left, right) >= 0
+
+    @property
+    def padded_sz(self):
+        return (self.in_sz[0] + self.pad_x[0] + self.pad_x[1],
+                self.in_sz[1] + self.pad_y[0] + self.pad_y[1])
+
+    @classmethod
+    def create(cls, in_sz: Sequence[int], matrix, out_sz: Sequence[int],
+               support: int = 2):
+        in_sz = tuple(int(s) for s in in_sz)
+        out_sz = tuple(int(s) for s in out_sz)
+        grid_x, grid_y = _warp_grid(matrix, in_sz, out_sz)
+        fov_x, dis_x, pad_x = _warp_axis(grid_x, in_sz[0], support)
+        fov_y, dis_y, pad_y = _warp_axis(grid_y, in_sz[1], support)
+        wp = in_sz[1] + pad_y[0] + pad_y[1]
+        lin = (fov_x[:, :, :, None].astype(np.int64) * wp
+               + fov_y[:, :, None, :].astype(np.int64))
+        return cls(in_sz=in_sz, out_sz=out_sz, support=support,
+                   fov_x=fov_x, fov_y=fov_y, lin_idx=lin.astype(np.int32),
+                   dis_x=dis_x, dis_y=dis_y, pad_x=pad_x, pad_y=pad_y)

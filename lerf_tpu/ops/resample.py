@@ -1,0 +1,318 @@
+"""Steerable / fixed-kernel resampling ops (XLA path).
+
+Device-side counterparts of the reference resampling core
+(``resize_right/resize_right2d_{numpy,torch}.py``): anisotropic-Gaussian and
+amplified-linear steerable resizing + homographic warping, plus the
+fixed-kernel (cubic/linear/box/lanczos/nearest) variants.
+
+All functions are pure, jittable, differentiable, and take a host-computed
+:class:`~lerf_tpu.ops.geometry.ResizeGeometry` / ``WarpGeometry`` (static
+arrays baked into the trace).  Images are ``[..., C, H, W]`` float arrays;
+hyper-parameter maps share the image's spatial shape and live on *source*
+pixels (they are gathered per neighbor, like the reference —
+resize_right2d_numpy.py:172-184).
+
+TPU notes: the resize gather is expressed as two axis-takes (separable FOV),
+which XLA lowers to cheap dynamic-slice sequences; weight computation,
+normalization and the support² reduction all fuse into one elementwise
+kernel.  The warp gather is one flat take with host-precomputed linear
+indices.  A fused Pallas kernel for very large outputs lives in
+``lerf_tpu.ops.pallas``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import interp_kernels
+from .geometry import ResizeGeometry, WarpGeometry
+
+# ---------------------------------------------------------------------------
+# padding helpers
+# ---------------------------------------------------------------------------
+
+
+def pad2d(x: jnp.ndarray, pad_x, pad_y, mode: str = "constant"):
+    """Pad the trailing two dims; negative pads crop (reference resize pads
+    may be negative for downscaling — resize_right2d_numpy.py:101)."""
+    (t, b), (l, r) = pad_x, pad_y
+    ct, cb = max(-t, 0), max(-b, 0)
+    cl, cr = max(-l, 0), max(-r, 0)
+    if ct or cb or cl or cr:
+        H, W = x.shape[-2], x.shape[-1]
+        x = x[..., ct:H - cb, cl:W - cr]
+    t, b, l, r = max(t, 0), max(b, 0), max(l, 0), max(r, 0)
+    if t or b or l or r:
+        cfg = [(0, 0)] * (x.ndim - 2) + [(t, b), (l, r)]
+        x = jnp.pad(x, cfg, mode=("edge" if mode in ("edge", "replicate")
+                                  else "constant"))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# steerable weight functions
+# ---------------------------------------------------------------------------
+
+
+def steering_gaussian_weight(rho, sigma_x, sigma_y, dx, dy):
+    """exp(-1/2 ((σx dx)² - 2ρ(σx dx)(σy dy) + (σy dy)²)).
+
+    Parity: ``sk_weight`` (resize_right2d_numpy.py:150-160).  Hyper inputs
+    here are already decoded (ρ∈[-1,1], σ∈[0,max_sigma]).
+    """
+    xn = (sigma_x * dx) ** 2
+    yn = (sigma_y * dy) ** 2
+    xy = sigma_x * dx * sigma_y * dy
+    return jnp.exp(-0.5 * (xn - 2.0 * rho * xy + yn))
+
+
+def _branch_masks(dis64: np.ndarray, dtype=np.float32):
+    """Host-side float64 branch masks for the piecewise-linear kernel.
+
+    The reference evaluates ``(-1 <= x) & (x < 0)`` / ``(0 <= x) & (x <= 1)``
+    in float64; projected grids routinely land within 1e-16 of the branch
+    edges at integer scales, so the masks must be resolved in float64 —
+    casting the distances to float32 first flips branches and produces
+    O(100) output errors.  ``dis64`` is a numpy float64 array available at
+    trace time.
+    """
+    neg = ((-1.0 <= dis64) & (dis64 < 0.0)).astype(dtype)
+    pos = ((0.0 <= dis64) & (dis64 <= 1.0)).astype(dtype)
+    return neg, pos
+
+
+def amplified_linear_weight(alpha, dx, dy, masks_x, masks_y):
+    """Slope-modulated triangle kernel, negative lobes clipped.
+
+    Parity: ``linear_alpha``/``linear_weight`` (resize_right2d_numpy.py:233-241),
+    with branch selection done via host-precomputed float64 masks.
+    """
+    def lin(a, x, masks):
+        neg, pos = masks
+        return (a * x + 1) * neg + (1 - a * x) * pos
+    return (jnp.clip(lin(alpha, dx, masks_x), 0, None)
+            * jnp.clip(lin(alpha, dy, masks_y), 0, None))
+
+
+def decode_gaussian_hyper(rho, sigma_x, sigma_y, max_sigma: float):
+    """Map network outputs in [0,1] to ρ∈[-1,1], σ∈[0,max_sigma]
+    (resize_right2d_numpy.py:168-170)."""
+    return rho * 2.0 - 1.0, sigma_x * max_sigma, sigma_y * max_sigma
+
+
+def decode_linear_hyper(alpha, max_alpha: float = 1.0):
+    """α = max_alpha·(2u-1)  (resize_right2d_numpy.py:249-250)."""
+    return max_alpha * (alpha * 2.0 - 1.0)
+
+
+# ---------------------------------------------------------------------------
+# core gather + normalize + accumulate  (resize)
+# ---------------------------------------------------------------------------
+
+
+def _gather_resize(x: jnp.ndarray, geom: ResizeGeometry, mode: str):
+    """Separable neighbor gather -> [..., outH*S, outW*S]."""
+    xp = pad2d(x, geom.pad_x, geom.pad_y, mode)
+    rows = jnp.take(xp, jnp.asarray(geom.fov_x.reshape(-1)), axis=-2)
+    return jnp.take(rows, jnp.asarray(geom.fov_y.reshape(-1)), axis=-1)
+
+
+def _reduce_support(weights, neighbors, geom: ResizeGeometry):
+    """normalize over the support² window and weighted-sum.
+
+    weights/neighbors: [..., outH*S, outW*S].  The reshape groups each
+    (output pixel, support window); sums are order-invariant so no transpose
+    is needed (the reference's swapaxes — resize_right2d_numpy.py:200-205 —
+    only canonicalizes window layout before the same reduction).
+    """
+    S = geom.support
+    oh, ow = geom.out_sz
+    lead = weights.shape[:-2]
+    w = weights.reshape(lead + (oh, S, ow, S))
+    n = neighbors.reshape(lead + (oh, S, ow, S))
+    wsum = jnp.sum(w, axis=(-3, -1), keepdims=True)
+    w = w / wsum
+    return jnp.sum(w * n, axis=(-3, -1))
+
+
+def _dis_broadcast(geom: ResizeGeometry, dtype):
+    """dis lattices broadcast to [outH*S, 1] and [outW*S]."""
+    dx = jnp.asarray(geom.dis_x.reshape(-1), dtype=dtype)[:, None]
+    dy = jnp.asarray(geom.dis_y.reshape(-1), dtype=dtype)[None, :]
+    return dx, dy
+
+
+def steering_gaussian_resize(img, rho, sigma_x, sigma_y,
+                             geom: ResizeGeometry, *, max_sigma: float = 10.0,
+                             pad_mode: str = "constant"):
+    """LeRF core op: spatially-varying anisotropic-Gaussian resize.
+
+    img:  [..., C, H, W] float; rho/sigma_x/sigma_y: [..., C, H, W] in [0,1].
+    Returns [..., C, outH, outW].
+    Parity: ``SteeringGaussianResize2dNumpy.resize`` (resize_right2d_numpy.py:162-223).
+    """
+    rho, sigma_x, sigma_y = decode_gaussian_hyper(rho, sigma_x, sigma_y,
+                                                  max_sigma)
+    f_rho = _gather_resize(rho, geom, "edge")
+    f_sx = _gather_resize(sigma_x, geom, "edge")
+    f_sy = _gather_resize(sigma_y, geom, "edge")
+    dx, dy = _dis_broadcast(geom, img.dtype)
+    if geom.antialias:
+        m = jnp.asarray(geom.min_scale, img.dtype)
+        weights = m * steering_gaussian_weight(f_rho, f_sx, f_sy,
+                                               m * dx, m * dy)
+    else:
+        weights = steering_gaussian_weight(f_rho, f_sx, f_sy, dx, dy)
+    neighbors = _gather_resize(img, geom, pad_mode)
+    return _reduce_support(weights, neighbors, geom)
+
+
+def amplified_linear_resize(img, alpha, geom: ResizeGeometry, *,
+                            max_alpha: float = 1.0,
+                            pad_mode: str = "constant"):
+    """LeRF-L op: amplified-linear resize
+    (``AmplifiedLinearResize2dNumpy.resize``, resize_right2d_numpy.py:243-282)."""
+    alpha = decode_linear_hyper(alpha, max_alpha)
+    f_alpha = _gather_resize(alpha, geom, "edge")
+    m64 = geom.min_scale if geom.antialias else 1.0
+    dx64 = (m64 * geom.dis_x.reshape(-1))[:, None]
+    dy64 = (m64 * geom.dis_y.reshape(-1))[None, :]
+    masks_x = tuple(jnp.asarray(a) for a in _branch_masks(dx64))
+    masks_y = tuple(jnp.asarray(a) for a in _branch_masks(dy64))
+    dx = jnp.asarray(dx64, img.dtype)
+    dy = jnp.asarray(dy64, img.dtype)
+    weights = amplified_linear_weight(f_alpha, dx, dy, masks_x, masks_y)
+    if geom.antialias:
+        weights = jnp.asarray(geom.min_scale, img.dtype) * weights
+    neighbors = _gather_resize(img, geom, pad_mode)
+    return _reduce_support(weights, neighbors, geom)
+
+
+def fixed_kernel_resize(img, geom: ResizeGeometry, kernel: str = "cubic", *,
+                        pad_mode: str = "constant", normalize: bool = True):
+    """Fixed-kernel resize (bicubic/linear/box/lanczos2/3).
+
+    Parity: generic ``Resize2dNumpy.resize`` path with
+    ``interp_methods.*2d`` weights.  Build geometry with the kernel's
+    ``support_sz`` (e.g. 4 for cubic).
+    """
+    kern1d = interp_kernels.NP_KERNELS_1D[kernel]
+    m64 = geom.min_scale if geom.antialias else 1.0
+    wx = kern1d(m64 * geom.dis_x.reshape(-1))          # host float64
+    wy = kern1d(m64 * geom.dis_y.reshape(-1))
+    if geom.antialias:
+        wx = m64 * wx
+    weights = (jnp.asarray(wx, img.dtype)[:, None]
+               * jnp.asarray(wy, img.dtype)[None, :])
+    weights = jnp.broadcast_to(weights,
+                               img.shape[:-2] + (geom.out_sz[0] * geom.support,
+                                                 geom.out_sz[1] * geom.support))
+    neighbors = _gather_resize(img, geom, pad_mode)
+    if not normalize or geom.support == 1:
+        S = geom.support
+        oh, ow = geom.out_sz
+        lead = weights.shape[:-2]
+        w = weights.reshape(lead + (oh, S, ow, S))
+        n = neighbors.reshape(lead + (oh, S, ow, S))
+        return jnp.sum(w * n, axis=(-3, -1))
+    return _reduce_support(weights, neighbors, geom)
+
+
+# ---------------------------------------------------------------------------
+# warping
+# ---------------------------------------------------------------------------
+
+
+def _gather_warp(x: jnp.ndarray, geom: WarpGeometry, mode: str):
+    """Flat neighbor gather -> [..., outH, outW, S, S]."""
+    xp = pad2d(x, geom.pad_x, geom.pad_y, mode)
+    hp, wp = xp.shape[-2], xp.shape[-1]
+    flat = xp.reshape(xp.shape[:-2] + (hp * wp,))
+    idx = jnp.asarray(geom.lin_idx.reshape(-1))
+    out = jnp.take(flat, idx, axis=-1)
+    return out.reshape(x.shape[:-2] + geom.out_sz
+                       + (geom.support, geom.support))
+
+
+def _reduce_support_warp(weights, neighbors, normalize: bool = True):
+    """weights/neighbors: [..., outH, outW, S, S].  Zero-sum windows (fully
+    out-of-view) produce NaN exactly like the reference; callers mask or
+    zero them (eval_model.py:261)."""
+    if normalize:
+        wsum = jnp.sum(weights, axis=(-2, -1), keepdims=True)
+        weights = weights / wsum
+    return jnp.sum(weights * neighbors, axis=(-2, -1))
+
+
+def _warp_dis(geom: WarpGeometry, dtype):
+    dx = jnp.asarray(geom.dis_x, dtype=dtype)[..., :, None]   # [oh,ow,S,1]
+    dy = jnp.asarray(geom.dis_y, dtype=dtype)[..., None, :]   # [oh,ow,1,S]
+    return dx, dy
+
+
+def steering_gaussian_warp(img, rho, sigma_x, sigma_y, geom: WarpGeometry, *,
+                           max_sigma: float = 10.0,
+                           pad_mode: str = "constant"):
+    """Steerable-Gaussian homographic warp
+    (``SteeringGaussianWarp2dNumpy.warp``, resize_right2d_numpy.py:496-577)."""
+    rho, sigma_x, sigma_y = decode_gaussian_hyper(rho, sigma_x, sigma_y,
+                                                  max_sigma)
+    f_rho = _gather_warp(rho, geom, "edge")
+    f_sx = _gather_warp(sigma_x, geom, "edge")
+    f_sy = _gather_warp(sigma_y, geom, "edge")
+    dx, dy = _warp_dis(geom, img.dtype)
+    weights = steering_gaussian_weight(f_rho, f_sx, f_sy, dx, dy)
+    neighbors = _gather_warp(img, geom, pad_mode)
+    return _reduce_support_warp(weights, neighbors)
+
+
+def amplified_linear_warp(img, alpha, geom: WarpGeometry, *,
+                          max_alpha: float = 1.0,
+                          pad_mode: str = "constant"):
+    """Amplified-linear homographic warp
+    (``AmplifiedLinearWarp2dNumpy.warp``, resize_right2d_numpy.py:579-635)."""
+    alpha = decode_linear_hyper(alpha, max_alpha)
+    f_alpha = _gather_warp(alpha, geom, "edge")
+    dx64 = geom.dis_x[..., :, None]
+    dy64 = geom.dis_y[..., None, :]
+    masks_x = tuple(jnp.asarray(a) for a in _branch_masks(dx64))
+    masks_y = tuple(jnp.asarray(a) for a in _branch_masks(dy64))
+    dx = jnp.asarray(dx64, img.dtype)
+    dy = jnp.asarray(dy64, img.dtype)
+    weights = amplified_linear_weight(f_alpha, dx, dy, masks_x, masks_y)
+    neighbors = _gather_warp(img, geom, pad_mode)
+    return _reduce_support_warp(weights, neighbors)
+
+
+def fixed_kernel_warp(img, geom: WarpGeometry, kernel: str = "cubic", *,
+                      pad_mode: str = "constant"):
+    """Fixed-kernel warp (nearest/bilinear/bicubic/lanczos).
+
+    ``support_sz==1`` (nearest/box) skips normalization — exactly the
+    reference's generic ``warp`` (resize_right2d_numpy.py:409-449), which is
+    what produces the 0/1 validity mask for mPSNR.
+    """
+    kern1d = interp_kernels.NP_KERNELS_1D[kernel]
+    wx = kern1d(geom.dis_x)[..., :, None]               # host float64
+    wy = kern1d(geom.dis_y)[..., None, :]
+    weights = jnp.asarray(wx * wy, img.dtype)
+    weights = jnp.broadcast_to(weights, img.shape[:-2] + weights.shape[-4:])
+    neighbors = _gather_warp(img, geom, pad_mode)
+    return _reduce_support_warp(weights, neighbors,
+                                normalize=geom.support != 1)
+
+
+def nearest_warp_mask(in_sz, geom: WarpGeometry, border: int = 4,
+                      dtype=jnp.float32):
+    """Validity mask for warp mPSNR: nearest-warp an all-255 image whose
+    ``border``-px frame is zeroed, threshold at 255
+    (eval_lut_warp.py:197-204).  Returns [outH, outW] float 0/1."""
+    h, w = in_sz
+    white = np.zeros((1, h, w), dtype=np.float32)
+    white[:, border:h - border, border:w - border] = 255.0
+    warped = fixed_kernel_warp(jnp.asarray(white), geom, "box")
+    return (warped[0] == 255.0).astype(dtype)

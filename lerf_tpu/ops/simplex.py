@@ -1,0 +1,110 @@
+"""Branchless 4D-simplex LUT interpolation.
+
+The reference's deploy-time LUT evaluation (``resample/eval_lut_sr.py:24-470``
+``FourSimplexInterpFaster``) selects 1 of 24 simplexes of the 4-cube with a
+cascade of boolean masks and gathers all 16 bounding corners per pixel.  The
+24 branches are exactly a *descending sort of the four LSB fractions where
+ties are won by the later element* of (a,b,c,d) — verified branch-by-branch
+against the reference decision tree (including its documented SR-LUT
+overflow fix, eval_lut_sr.py:310-317).
+
+We therefore compute each element's rank with 6 strict pairwise comparisons
+and blend 5 corners along the sorted chain:
+
+    out = (q - v0)·P(0) + Σ_t (v_t - v_{t+1})·P(cum_t) + v3·P(1111)
+
+with ``cum_t`` the cumulative corner bitmask of the t+1 largest fractions.
+This needs **5 LUT gathers per pixel instead of 16** and no branching — a
+3.2× gather reduction that matters on TPU where the gathers are the whole
+cost.  All arithmetic is int32 and bit-exact vs the reference.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def simplex4d(lut: jnp.ndarray, a, b, c, d, interval: int = 4):
+    """4D-simplex interpolation of int LUT values.
+
+    Args:
+      lut: ``[L**4, oC]`` int32 LUT (int8 values widened); ``L = 2**(8-interval)+1``.
+      a, b, c, d: int32 arrays (any broadcast-equal shape) of raw 8-bit pixel
+        values 0..255 in the mode's (a,b,c,d) sampling-geometry order.
+      interval: LSB bits (reference ``--interval``, default 4 → q=16, L=17).
+
+    Returns:
+      int32 array ``a.shape + (oC,)`` holding q × the interpolated value
+      (i.e. the reference's ``out`` *before* its final ``/q`` —
+      eval_lut_sr.py:469).  Keeping the ×q scale preserves exactness.
+    """
+    q = 1 << interval
+    L = (1 << (8 - interval)) + 1
+
+    ia, fa = a // q, a % q
+    ib, fb = b // q, b % q
+    ic, fc = c // q, c % q
+    id_, fd = d // q, d % q
+
+    base = ((ia * L + ib) * L + ic) * L + id_
+
+    # strict pairwise wins (reference comparisons fab..fcd, eval_lut_sr.py:218-224)
+    fab = (fa > fb).astype(jnp.int32)
+    fac = (fa > fc).astype(jnp.int32)
+    fad = (fa > fd).astype(jnp.int32)
+    fbc = (fb > fc).astype(jnp.int32)
+    fbd = (fb > fd).astype(jnp.int32)
+    fcd = (fc > fd).astype(jnp.int32)
+
+    # score = number of elements this one outranks (later index wins ties)
+    sa = fab + fac + fad
+    sb = (1 - fab) + fbc + fbd
+    sc = (1 - fac) + (1 - fbc) + fcd
+    sd = (1 - fad) + (1 - fbd) + (1 - fcd)
+    # rank 0 = largest fraction
+    ra, rb, rc, rd = 3 - sa, 3 - sb, 3 - sc, 3 - sd
+
+    offs = (L * L * L, L * L, L, 1)  # corner-raise offsets for a,b,c,d
+    fracs = (fa, fb, fc, fd)
+    ranks = (ra, rb, rc, rd)
+
+    def at_rank(t):
+        v = sum(f * (r == t) for f, r in zip(fracs, ranks))
+        o = sum(o_ * (r == t) for o_, r in zip(offs, ranks))
+        return v, o
+
+    v0, o0 = at_rank(0)
+    v1, o1 = at_rank(1)
+    v2, o2 = at_rank(2)
+    v3, o3 = at_rank(3)
+    cum0 = o0
+    cum1 = cum0 + o1
+    cum2 = cum1 + o2
+    cum3 = cum2 + o3  # == L³+L²+L+1, the p1111 corner
+
+    def gather(idx):
+        return jnp.take(lut, idx.reshape(-1), axis=0).reshape(
+            idx.shape + (lut.shape[1],))
+
+    p_lo = gather(base)
+    p0 = gather(base + cum0)
+    p1 = gather(base + cum1)
+    p2 = gather(base + cum2)
+    p_hi = gather(base + cum3)
+
+    w = lambda x: x[..., None]
+    out = (w(q - v0) * p_lo + w(v0 - v1) * p0 + w(v1 - v2) * p1
+           + w(v2 - v3) * p2 + w(v3) * p_hi)
+    return out
+
+
+def round_half_even_div(num, den: int):
+    """Exact round-half-to-even of ``num/den`` for non-negative int32 ``num``.
+
+    Matches ``np.round`` (banker's rounding) applied to the exact rational —
+    bit-identical to the reference float64 pipeline because all its rational
+    values with fractional part exactly .5 are float-representable.
+    """
+    q_, r_ = num // den, num % den
+    twice = 2 * r_
+    up = (twice > den) | ((twice == den) & (q_ % 2 == 1))
+    return q_ + up.astype(num.dtype)

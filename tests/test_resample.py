@@ -1,0 +1,206 @@
+"""Parity tests: steerable/fixed resize & warp vs the reference numpy oracle."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lerf_tpu.ops import (
+    ResizeGeometry, WarpGeometry,
+    steering_gaussian_resize, amplified_linear_resize, fixed_kernel_resize,
+    steering_gaussian_warp, amplified_linear_warp, fixed_kernel_warp,
+    nearest_warp_mask,
+)
+from oracle import requires_reference, ref_resize_numpy
+
+RNG = np.random.RandomState
+
+
+def rand_img(c, h, w, seed=0):
+    return (RNG(seed).rand(c, h, w) * 255).astype(np.float32)
+
+
+def rand_hyper(c, h, w, seed=1):
+    return RNG(seed).rand(3, c, h, w).astype(np.float32)
+
+
+SHAPES = [
+    ((3, 12, 17), [2, 2]),
+    ((3, 12, 17), [3, 3]),
+    ((1, 9, 9), [4, 4]),
+    ((3, 10, 14), [1.5, 2.0]),
+    ((3, 16, 16), [2.5, 2.5]),
+    ((3, 16, 16), [0.5, 0.5]),   # downscale: exercises anti-aliasing
+    ((3, 20, 10), [1.0, 1.0]),
+]
+
+
+@requires_reference
+@pytest.mark.parametrize("shape,scale", SHAPES)
+def test_steering_gaussian_resize_matches_oracle(shape, scale):
+    m = ref_resize_numpy()
+    img = rand_img(*shape)
+    rho, sx, sy = rand_hyper(*shape)
+
+    ref = m.SteeringGaussianResize2dNumpy(support_sz=2, max_sigma=10)
+    ref.set_shape(list(shape), scale_factors=scale)
+    want = ref.resize(img, rho, sx, sy)
+
+    geom = ResizeGeometry.create(shape[1:], scale_factors=scale, support=2)
+    got = np.asarray(steering_gaussian_resize(
+        jnp.asarray(img), jnp.asarray(rho), jnp.asarray(sx), jnp.asarray(sy),
+        geom, max_sigma=10.0))
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-3)
+
+
+@requires_reference
+@pytest.mark.parametrize("shape,scale", SHAPES[:4])
+def test_amplified_linear_resize_matches_oracle(shape, scale):
+    m = ref_resize_numpy()
+    img = rand_img(*shape, seed=3)
+    alpha = RNG(4).rand(*shape).astype(np.float32)
+
+    ref = m.AmplifiedLinearResize2dNumpy()
+    ref.set_shape(list(shape), scale_factors=scale)
+    want = ref.resize(img, alpha)
+
+    geom = ResizeGeometry.create(shape[1:], scale_factors=scale, support=2)
+    got = np.asarray(amplified_linear_resize(
+        jnp.asarray(img), jnp.asarray(alpha), geom, max_alpha=1.0))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-3)
+
+
+def _rand_homography(seed=0, jitter=1e-4):
+    r = RNG(seed)
+    m = np.eye(3)
+    m[0, 0] = m[1, 1] = 0.5 + 0.1 * r.rand()    # upscale warp
+    m[0, 1] = 0.05 * r.randn()
+    m[1, 0] = 0.05 * r.randn()
+    m[0, 2] = 2 * r.randn()
+    m[1, 2] = 2 * r.randn()
+    m[2, 0] = jitter * r.randn()
+    m[2, 1] = jitter * r.randn()
+    return np.linalg.inv(m)  # maps input -> output like the benchmark .pth
+
+
+@requires_reference
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_steering_gaussian_warp_matches_oracle(seed):
+    m = ref_resize_numpy()
+    c, h, w = 3, 14, 18
+    oh, ow = 25, 31
+    img = rand_img(c, h, w, seed=seed)
+    rho, sx, sy = rand_hyper(c, h, w, seed=seed + 10)
+    matrix = _rand_homography(seed)
+
+    ref = m.SteeringGaussianWarp2dNumpy(support_sz=2, max_sigma=10)
+    ref.set_shape([c, h, w], matrix, [c, oh, ow])
+    want = ref.warp(img, rho, sx, sy)
+
+    geom = WarpGeometry.create((h, w), matrix, (oh, ow), support=2)
+    got = np.asarray(steering_gaussian_warp(
+        jnp.asarray(img), jnp.asarray(rho), jnp.asarray(sx), jnp.asarray(sy),
+        geom, max_sigma=10.0))
+
+    # NaN pattern (fully out-of-view windows) must coincide; values match
+    nan_w, nan_g = np.isnan(want), np.isnan(got)
+    np.testing.assert_array_equal(nan_g, nan_w)
+    np.testing.assert_allclose(got[~nan_g], want[~nan_w], rtol=2e-5, atol=2e-3)
+
+
+@requires_reference
+def test_amplified_linear_warp_matches_oracle():
+    m = ref_resize_numpy()
+    c, h, w = 3, 14, 18
+    oh, ow = 25, 31
+    img = rand_img(c, h, w, seed=7)
+    alpha = RNG(8).rand(c, h, w).astype(np.float32)
+    matrix = _rand_homography(5)
+
+    ref = m.AmplifiedLinearWarp2dNumpy()
+    ref.set_shape([c, h, w], matrix, [c, oh, ow])
+    want = ref.warp(img, alpha)
+
+    geom = WarpGeometry.create((h, w), matrix, (oh, ow), support=2)
+    got = np.asarray(amplified_linear_warp(jnp.asarray(img),
+                                           jnp.asarray(alpha), geom))
+    nan_w, nan_g = np.isnan(want), np.isnan(got)
+    np.testing.assert_array_equal(nan_g, nan_w)
+    np.testing.assert_allclose(got[~nan_g], want[~nan_w], rtol=2e-5, atol=2e-3)
+
+
+@requires_reference
+@pytest.mark.parametrize("kernel,ref_cls,support", [
+    ("box", "NearestWarp2dNumpy", 1),
+    ("linear", "BilinearWarp2dNumpy", 2),
+    ("cubic", "BicubicWarp2dNumpy", 4),
+    ("lanczos2", "Lanczos2Warp2dNumpy", 4),
+])
+def test_fixed_warp_matches_oracle(kernel, ref_cls, support):
+    m = ref_resize_numpy()
+    c, h, w = 3, 14, 18
+    oh, ow = 20, 26
+    img = rand_img(c, h, w, seed=11)
+    matrix = _rand_homography(9)
+
+    ref = getattr(m, ref_cls)()
+    ref.set_shape([c, h, w], matrix, [c, oh, ow])
+    want = ref.warp(img)
+
+    geom = WarpGeometry.create((h, w), matrix, (oh, ow), support=support)
+    got = np.asarray(fixed_kernel_warp(jnp.asarray(img), geom, kernel))
+    nan_w, nan_g = np.isnan(want), np.isnan(got)
+    np.testing.assert_array_equal(nan_g, nan_w)
+    np.testing.assert_allclose(got[~nan_g], want[~nan_w], rtol=2e-5, atol=2e-3)
+
+
+@requires_reference
+def test_nearest_warp_mask_matches_oracle():
+    m = ref_resize_numpy()
+    c, h, w = 3, 14, 18
+    oh, ow = 20, 26
+    matrix = _rand_homography(3)
+
+    white = np.zeros((c, h, w), dtype=np.float32)
+    white[:, 4:h - 4, 4:w - 4] = 255
+    ref = m.NearestWarp2dNumpy()
+    ref.set_shape([c, h, w], matrix, [c, oh, ow])
+    want = (ref.warp(white) == 255)
+
+    geom = WarpGeometry.create((h, w), matrix, (oh, ow), support=1)
+    got = np.asarray(nearest_warp_mask((h, w), geom, border=4)) == 1.0
+    np.testing.assert_array_equal(got, want[0])
+
+
+def test_uniform_hyper_reduces_to_symmetric_gaussian():
+    """Property: uniform ρ=0.5 (decoded 0) makes the kernel separable and
+    symmetric; output must be invariant to transposing the image+scale."""
+    img = rand_img(1, 13, 13, seed=2)
+    rho = np.full((1, 13, 13), 0.5, np.float32)
+    s = np.full((1, 13, 13), 0.3, np.float32)
+    geom = ResizeGeometry.create((13, 13), scale_factors=[2, 2], support=2)
+    out = np.asarray(steering_gaussian_resize(
+        jnp.asarray(img), jnp.asarray(rho), jnp.asarray(s), jnp.asarray(s),
+        geom))
+    out_t = np.asarray(steering_gaussian_resize(
+        jnp.asarray(img.transpose(0, 2, 1)), jnp.asarray(rho),
+        jnp.asarray(s), jnp.asarray(s), geom))
+    np.testing.assert_allclose(out, out_t.transpose(0, 2, 1), rtol=1e-5,
+                               atol=1e-3)
+
+
+def test_batched_matches_single():
+    img = np.stack([rand_img(3, 10, 11, seed=i) for i in range(2)])
+    rho = np.stack([rand_hyper(3, 10, 11, seed=i)[0] for i in range(2)])
+    sx = np.stack([rand_hyper(3, 10, 11, seed=i + 5)[1] for i in range(2)])
+    sy = np.stack([rand_hyper(3, 10, 11, seed=i + 9)[2] for i in range(2)])
+    geom = ResizeGeometry.create((10, 11), scale_factors=[2, 2], support=2)
+    batched = np.asarray(steering_gaussian_resize(
+        jnp.asarray(img), jnp.asarray(rho), jnp.asarray(sx), jnp.asarray(sy),
+        geom))
+    for b in range(2):
+        single = np.asarray(steering_gaussian_resize(
+            jnp.asarray(img[b]), jnp.asarray(rho[b]), jnp.asarray(sx[b]),
+            jnp.asarray(sy[b]), geom))
+        np.testing.assert_allclose(batched[b], single, rtol=1e-6, atol=1e-6)
