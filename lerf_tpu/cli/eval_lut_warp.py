@@ -1,0 +1,51 @@
+"""Homographic-warp evaluation from LUTs.
+
+Drop-in equivalent of the reference driver (resample/eval_lut_warp.py):
+
+    python -m lerf_tpu.cli.eval_lut_warp --testDir data/WarpBenchmark \
+        --resultRoot results/warp --lutName LUTft -e models/lerf-g
+
+Use --hrRoot to point at the HR directory root when the warp benchmark dir
+ships only isc/osc (the bundled fixtures).
+"""
+from __future__ import annotations
+
+import sys
+
+from ..config import TestConfig, parse_config
+from ..evaluate import format_warp_table, run_warp_benchmark
+from ..lut import load_lut_bank
+from ..pipeline import LutPredictor
+
+DEFAULT_DATASETS = ["Set5"]
+DEFAULT_SCALE_PS = ["isc", "osc"]
+
+
+def main(argv=None, datasets=None, scale_ps=None):
+    cfg = parse_config(TestConfig, argv)
+    datasets = datasets or DEFAULT_DATASETS
+    scale_ps = scale_ps or DEFAULT_SCALE_PS
+
+    out_c = 1 if cfg.linear else 3
+    bank = load_lut_bank(cfg.exp_dir, lut_name=cfg.lut_name,
+                         modes=tuple(cfg.modes), modes2=tuple(cfg.modes2),
+                         out_c=out_c, interval=cfg.interval)
+    pred = LutPredictor(bank, linear=cfg.linear, modes=tuple(cfg.modes),
+                        modes2=tuple(cfg.modes2), supp_size=cfg.supp_size,
+                        max_sigma=cfg.max_sigma, stages=cfg.stages,
+                        norm=cfg.norm)
+
+    exp_name = cfg.exp_dir.rstrip("/").split("/")[-1]
+    all_results = {}
+    for ds in datasets:
+        all_results[ds] = run_warp_benchmark(
+            pred, cfg.test_dir, ds, tuple(scale_ps),
+            hr_root=cfg.hr_root or None, result_root=cfg.result_root,
+            exp_name=exp_name,
+            pre_upsample="PreUpsample" in cfg.test_dir)
+    print(format_warp_table(all_results, tuple(scale_ps)))
+    return all_results
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,79 @@
+"""Network-form evaluation (LeRF-Net / LeRF-Net++ / trained SRNets).
+
+Drop-in equivalent of the reference driver (resample/eval_model.py): the SR
+vs warp branch follows the reference convention — "warp" in ``resultRoot``
+selects warping (eval_model.py:307).
+
+    python -m lerf_tpu.cli.eval_model --testDir data/rrBenchmark \
+        --resultRoot results/sr-net -e models/lerf-net --model IMDN2 \
+        --inC 3 --featC 3
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+from ..config import TestConfig, parse_config
+from ..evaluate import format_sr_table, format_warp_table, \
+    run_sr_benchmark, run_warp_benchmark
+from ..pipeline import NetPredictor
+
+DEFAULT_DATASETS = ["Set5"]
+DEFAULT_SCALES = [[2, 2], [3, 3], [4, 4]]
+
+
+def build_predictor(cfg: TestConfig) -> NetPredictor:
+    if cfg.model == "IMDN2":
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.imdn import IMDN2
+        model = IMDN2(in_c=cfg.in_c, out_c=cfg.out_c, nf=cfg.nf,
+                      norm=cfg.norm)
+        ckpt = os.path.join(cfg.exp_dir, f"Model_{cfg.load_iter:06d}.pth")
+        if os.path.exists(ckpt):
+            from ..models.convert import imdn_from_torch_checkpoint
+            variables = imdn_from_torch_checkpoint(ckpt, model)
+        else:
+            variables = model.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 16, 16, cfg.in_c)), 1)
+        return NetPredictor.from_imdn(model, variables, out_c=cfg.out_c,
+                                      linear=cfg.linear,
+                                      supp_size=cfg.supp_size,
+                                      max_sigma=cfg.max_sigma, norm=cfg.norm)
+    # SRNetsSWF2 pixel-MLP form from our checkpoints / reference pickles
+    from .transfer import load_params
+    params = load_params(cfg)
+    return NetPredictor.from_srnets(
+        params, modes=tuple(cfg.modes), modes2=tuple(cfg.modes2),
+        stages=cfg.stages, linear=cfg.linear, two_stage=cfg.two_stage,
+        supp_size=cfg.supp_size, max_sigma=cfg.max_sigma, norm=cfg.norm)
+
+
+def main(argv=None, datasets=None):
+    cfg = parse_config(TestConfig, argv)
+    datasets = datasets or DEFAULT_DATASETS
+    pred = build_predictor(cfg)
+    exp_name = cfg.exp_dir.rstrip("/").split("/")[-1]
+
+    if "warp" in cfg.result_root:
+        pre_up = "PreUpsample" in cfg.test_dir
+        results = {ds: run_warp_benchmark(
+            pred, cfg.test_dir, ds, ("isc", "osc"),
+            hr_root=cfg.hr_root or None, result_root=cfg.result_root,
+            exp_name=exp_name, pre_upsample=pre_up)
+            for ds in datasets}
+        print(format_warp_table(results))
+        return results
+
+    post = 2 if "PreUpsample" in cfg.test_dir else 1
+    scales = [tuple(s) for s in DEFAULT_SCALES]
+    results = {ds: run_sr_benchmark(
+        pred, cfg.test_dir, ds, scales, result_root=cfg.result_root,
+        exp_name=exp_name, post=post) for ds in datasets}
+    print(format_sr_table(results, scales))
+    return results
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

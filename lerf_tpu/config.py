@@ -1,0 +1,176 @@
+"""Configuration / experiment-directory system.
+
+Replaces the reference argparse stack (``common/option.py``) with typed
+dataclasses + the same CLI flag surface, experiment-dir persistence
+(opt.txt + opt.json instead of a pickle), auto-numbered ``expr_N`` dirs and
+debug-mode shrinkage (option.py:133-170).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass
+class BaseConfig:
+    # experiment specifics (option.py:13-41)
+    name: str = "lerf"
+    model: str = "SRNetsSWF2"
+    scale: str = "4"
+    nsigma: int = -1
+    nf: int = 64
+    modes: str = "sct"
+    modes2: str = "sct"
+    interval: int = 4
+    norm: int = 255
+    supp_size: int = 2
+    in_c: int = 1
+    out_c: int = 3
+    feat_c: int = 1
+    max_sigma: int = 10
+    stages: int = 2
+    two_stage: bool = False
+    linear: bool = False
+    model_root: str = "./models"
+    exp_dir: str = ""
+    debug: bool = False
+    platform: str = ""           # "", "cpu", "tpu", ... — jax backend override
+
+    def apply_platform(self):
+        """Select the JAX backend before first use.  Needed because the
+        axon TPU plugin force-registers itself at interpreter start."""
+        if self.platform:
+            import jax
+            jax.config.update("jax_platforms", self.platform)
+
+    @property
+    def scale_value(self):
+        """int for "4", float for "0.5" (option.py:127-131)."""
+        return float(self.scale) if "." in self.scale else int(self.scale)
+
+    def resolve_exp_dir(self):
+        if self.exp_dir == "":
+            model_dir = os.path.join(self.model_root, self.name)
+            os.makedirs(model_dir, exist_ok=True)
+            count = 1
+            while os.path.isdir(os.path.join(model_dir, f"expr_{count}")):
+                count += 1
+            self.exp_dir = os.path.join(model_dir, f"expr_{count}")
+            os.makedirs(self.exp_dir)
+        else:
+            os.makedirs(self.exp_dir, exist_ok=True)
+            self.name = os.path.basename(self.exp_dir.rstrip("/")) \
+                + "-" + self.model
+        return self.exp_dir
+
+    def save(self, out_dir: Optional[str] = None):
+        out_dir = out_dir or self.exp_dir
+        os.makedirs(out_dir, exist_ok=True)
+        d = dataclasses.asdict(self)
+        with open(os.path.join(out_dir, "opt.json"), "w") as f:
+            json.dump(d, f, indent=2, sort_keys=True)
+        with open(os.path.join(out_dir, "opt.txt"), "w") as f:
+            for k in sorted(d):
+                f.write(f"{str(k):>25}: {str(d[k]):<30}\n")
+
+    @classmethod
+    def load(cls, exp_dir: str):
+        with open(os.path.join(exp_dir, "opt.json")) as f:
+            d = json.load(f)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+
+@dataclasses.dataclass
+class TrainConfig(BaseConfig):
+    # data (option.py:183-189)
+    batch_size: int = 16
+    crop_size: int = 48
+    train_dir: str = "./data/DIV2K"
+    val_dir: str = "./data/rrBenchmark"
+    val_w_dir: str = "./data/WarpBenchmark"
+    lutft: bool = False
+    # training (option.py:191-201)
+    start_iter: int = 0
+    total_iter: int = 50000
+    display_step: int = 100
+    val_step: int = 2000
+    save_step: int = 2000
+    lr0: float = 1e-3
+    lr1: float = 1e-4
+    weight_decay: float = 0.0
+    worker_num: int = 8
+    # TPU-native additions
+    data_axis: int = -1          # -1 = all local devices (pjit DP)
+    seed: int = 0
+    keep_checkpoints: int = 5
+
+    def apply_debug(self):
+        """Debug-mode shrinkage (option.py:164-170)."""
+        if self.debug:
+            self.display_step = 10
+            self.save_step = 100
+            self.val_step = 50
+            self.total_iter = 200
+            self.batch_size = 4
+            self.nf = 16
+
+
+@dataclasses.dataclass
+class TestConfig(BaseConfig):
+    test_dir: str = "./data/rrBenchmark"
+    result_root: str = "./results"
+    load_iter: int = 50000
+    lut_name: str = "LUTft"
+    hr_root: str = ""            # optional separate HR root for warp eval
+
+
+_FLAG_ALIASES = {
+    # reference camelCase flag → dataclass field
+    "suppSize": "supp_size", "inC": "in_c", "outC": "out_c",
+    "featC": "feat_c", "maxSigma": "max_sigma", "twoStage": "two_stage",
+    "modelRoot": "model_root", "expDir": "exp_dir",
+    "batchSize": "batch_size", "cropSize": "crop_size",
+    "trainDir": "train_dir", "valDir": "val_dir", "valWDir": "val_w_dir",
+    "startIter": "start_iter", "totalIter": "total_iter",
+    "displayStep": "display_step", "valStep": "val_step",
+    "saveStep": "save_step", "weightDecay": "weight_decay",
+    "workerNum": "worker_num", "testDir": "test_dir",
+    "resultRoot": "result_root", "loadIter": "load_iter",
+    "lutName": "lut_name", "hrRoot": "hr_root",
+}
+
+
+def build_parser(cls) -> argparse.ArgumentParser:
+    """argparse front-end accepting both snake_case and the reference's
+    camelCase flags (so the reference's documented commands port 1:1)."""
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    inverse = {v: k for k, v in _FLAG_ALIASES.items()}
+    for f in dataclasses.fields(cls):
+        names = [f"--{f.name}"]
+        if f.name in inverse:
+            names.append(f"--{inverse[f.name]}")
+        if f.name == "exp_dir":
+            names.append("-e")
+        if f.name == "scale":
+            names.append("-r")
+        if f.type in ("bool", bool):
+            p.add_argument(*names, action="store_true",
+                           default=f.default)
+        else:
+            typ = {int: int, float: float, str: str}.get(
+                f.type if isinstance(f.type, type) else
+                {"int": int, "float": float, "str": str}.get(f.type, str))
+            p.add_argument(*names, type=typ, default=f.default)
+    return p
+
+
+def parse_config(cls, argv=None):
+    args = build_parser(cls).parse_args(argv)
+    cfg = cls(**vars(args))
+    cfg.apply_platform()
+    return cfg

@@ -171,7 +171,11 @@ class WarpGeometry:
     support: int
     fov_x: np.ndarray    # [outH, outW, S] int32 row candidates (clipped)
     fov_y: np.ndarray    # [outH, outW, S] int32 col candidates (clipped)
-    lin_idx: np.ndarray  # [outH, outW, S, S] int32 flat indices into padded img
+    lin_idx: np.ndarray  # [S, S, outH, outW] int32 flat indices into padded
+                         # img — support axes LEADING so device results are
+                         # [..., S, S, outH, outW] (trailing dims large; the
+                         # trailing-(S,S) layout pads 2→(8,128) tiles, a
+                         # 256× HBM blowup)
     dis_x: np.ndarray    # [outH, outW, S] float64
     dis_y: np.ndarray    # [outH, outW, S] float64
     pad_x: tuple         # (top, bottom) >= 0
@@ -192,7 +196,9 @@ class WarpGeometry:
         fov_y, dis_y, pad_y = _warp_axis(grid_y, in_sz[1], support)
         wp = in_sz[1] + pad_y[0] + pad_y[1]
         lin = (fov_x[:, :, :, None].astype(np.int64) * wp
-               + fov_y[:, :, None, :].astype(np.int64))
+               + fov_y[:, :, None, :].astype(np.int64))   # [oh, ow, S, S]
+        lin = lin.transpose(2, 3, 0, 1)                    # [S, S, oh, ow]
         return cls(in_sz=in_sz, out_sz=out_sz, support=support,
-                   fov_x=fov_x, fov_y=fov_y, lin_idx=lin.astype(np.int32),
+                   fov_x=fov_x, fov_y=fov_y,
+                   lin_idx=np.ascontiguousarray(lin).astype(np.int32),
                    dis_x=dis_x, dis_y=dis_y, pad_x=pad_x, pad_y=pad_y)

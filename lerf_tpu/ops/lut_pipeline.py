@@ -77,6 +77,41 @@ def _sample4(xpad: jnp.ndarray, h: int, w: int, mode: str, r: int,
     return outs
 
 
+def ensemble_members(modes: Sequence[str], split_r: bool):
+    """[(mode, rotation, lut_key)] for the 4·len(modes) ensemble members."""
+    out = []
+    for mode in modes:
+        for r in range(4):
+            out.append((mode, r, f"{mode}r{r % 2}" if split_r else mode))
+    return out
+
+
+def stack_ensemble_inputs(img: jnp.ndarray, modes: Sequence[str],
+                          split_r: bool, luts: Dict[str, jnp.ndarray]):
+    """Build the batched-ensemble operands: per-role neighbor stacks
+    [M, ..., H, W], the concatenated LUT [K·L⁴, oC], and per-member flat
+    offsets — so the whole mode×rotation ensemble is ONE simplex call."""
+    h, w = img.shape[-2], img.shape[-1]
+    xpad = _pad_all_sides(img)
+    members = ensemble_members(modes, split_r)
+    keys = sorted({k for _, _, k in members})
+    key_idx = {k: i for i, k in enumerate(keys)}
+    L4 = luts[keys[0]].shape[0]
+    flat_lut = jnp.concatenate([luts[k] for k in keys], axis=0)
+
+    roles = [[], [], [], []]
+    offs = []
+    for mode, r, key in members:
+        samples = _sample4(xpad, h, w, mode, r)
+        for role, sm in zip(roles, samples):
+            role.append(sm)
+        offs.append(key_idx[key] * L4)
+    a, b, c, d = (jnp.stack(role, axis=0) for role in roles)
+    lut_offset = jnp.asarray(offs, jnp.int32).reshape(
+        (len(members),) + (1,) * (img.ndim))
+    return flat_lut, lut_offset, a, b, c, d
+
+
 def lut_ensemble(img: jnp.ndarray, luts: Dict[str, jnp.ndarray],
                  modes: Sequence[str], *, interval: int = 4,
                  split_r: bool = False):
@@ -88,17 +123,16 @@ def lut_ensemble(img: jnp.ndarray, luts: Dict[str, jnp.ndarray],
     ``f"{mode}r{0|1}"`` with r0 used at rotations 0/2 and r1 at 1/3
     (eval_lut_sr.py:580-619).
     Returns int32 [..., H, W, oC] (scale: q × avg-numerator).
+
+    All 4·len(modes) members are evaluated as ONE batched simplex
+    interpolation over a stacked LUT (see ``simplex4d``'s ``lut_offset``) —
+    5 XLA gathers for the entire ensemble.
     """
-    h, w = img.shape[-2], img.shape[-1]
-    xpad = _pad_all_sides(img)
-    pred = None
-    for mode in modes:
-        for r in range(4):
-            key = f"{mode}r{r % 2}" if split_r else mode
-            a, b, c, d = _sample4(xpad, h, w, mode, r)
-            s = simplex4d(luts[key], a, b, c, d, interval=interval)
-            pred = s if pred is None else pred + s
-    return pred
+    flat_lut, lut_offset, a, b, c, d = stack_ensemble_inputs(
+        img, modes, split_r, luts)
+    s = simplex4d(flat_lut, a, b, c, d, interval=interval,
+                  lut_offset=lut_offset)
+    return jnp.sum(s, axis=0)
 
 
 def lut_stage1(img: jnp.ndarray, luts_s1: Dict[str, jnp.ndarray],

@@ -121,22 +121,36 @@ def _gather_resize(x: jnp.ndarray, geom: ResizeGeometry, mode: str):
     return jnp.take(rows, jnp.asarray(geom.fov_y.reshape(-1)), axis=-1)
 
 
+def _block_sums(weights, neighbors, S: int):
+    """Σ_{s,t} w[..., s::S, t::S]·n and Σ w over each S×S window.
+
+    TPU layout note: reshaping to [..., oh, S, ow, S] pads the trailing
+    S(=2) dims to the (8,128) tile — a 64× memory blowup that OOMs HBM on
+    large outputs.  Strided slices keep every operand at [..., oh, ow]
+    (verified: the reshape form needed 21 GB for a 1440×2560 output; this
+    form <200 MB).  Math is identical: Σ(w·n)/Σw over the window.
+    """
+    wn = None
+    ws = None
+    for s in range(S):
+        for t in range(S):
+            w = weights[..., s::S, t::S]
+            n = neighbors[..., s::S, t::S]
+            wn = w * n if wn is None else wn + w * n
+            ws = w if ws is None else ws + w
+    return wn, ws
+
+
 def _reduce_support(weights, neighbors, geom: ResizeGeometry):
     """normalize over the support² window and weighted-sum.
 
-    weights/neighbors: [..., outH*S, outW*S].  The reshape groups each
-    (output pixel, support window); sums are order-invariant so no transpose
-    is needed (the reference's swapaxes — resize_right2d_numpy.py:200-205 —
-    only canonicalizes window layout before the same reduction).
+    weights/neighbors: [..., outH*S, outW*S].  Window sums are
+    order-invariant so no transpose is needed (the reference's swapaxes —
+    resize_right2d_numpy.py:200-205 — only canonicalizes window layout
+    before the same reduction).
     """
-    S = geom.support
-    oh, ow = geom.out_sz
-    lead = weights.shape[:-2]
-    w = weights.reshape(lead + (oh, S, ow, S))
-    n = neighbors.reshape(lead + (oh, S, ow, S))
-    wsum = jnp.sum(w, axis=(-3, -1), keepdims=True)
-    w = w / wsum
-    return jnp.sum(w * n, axis=(-3, -1))
+    wn, ws = _block_sums(weights, neighbors, geom.support)
+    return wn / ws
 
 
 def _dis_broadcast(geom: ResizeGeometry, dtype):
@@ -213,12 +227,8 @@ def fixed_kernel_resize(img, geom: ResizeGeometry, kernel: str = "cubic", *,
                                                  geom.out_sz[1] * geom.support))
     neighbors = _gather_resize(img, geom, pad_mode)
     if not normalize or geom.support == 1:
-        S = geom.support
-        oh, ow = geom.out_sz
-        lead = weights.shape[:-2]
-        w = weights.reshape(lead + (oh, S, ow, S))
-        n = neighbors.reshape(lead + (oh, S, ow, S))
-        return jnp.sum(w * n, axis=(-3, -1))
+        wn, _ = _block_sums(weights, neighbors, geom.support)
+        return wn
     return _reduce_support(weights, neighbors, geom)
 
 
@@ -228,29 +238,31 @@ def fixed_kernel_resize(img, geom: ResizeGeometry, kernel: str = "cubic", *,
 
 
 def _gather_warp(x: jnp.ndarray, geom: WarpGeometry, mode: str):
-    """Flat neighbor gather -> [..., outH, outW, S, S]."""
+    """Flat neighbor gather -> [..., S, S, outH, outW] (support leading —
+    see WarpGeometry.lin_idx layout note)."""
     xp = pad2d(x, geom.pad_x, geom.pad_y, mode)
     hp, wp = xp.shape[-2], xp.shape[-1]
     flat = xp.reshape(xp.shape[:-2] + (hp * wp,))
     idx = jnp.asarray(geom.lin_idx.reshape(-1))
     out = jnp.take(flat, idx, axis=-1)
-    return out.reshape(x.shape[:-2] + geom.out_sz
-                       + (geom.support, geom.support))
+    return out.reshape(x.shape[:-2] + (geom.support, geom.support)
+                       + geom.out_sz)
 
 
 def _reduce_support_warp(weights, neighbors, normalize: bool = True):
-    """weights/neighbors: [..., outH, outW, S, S].  Zero-sum windows (fully
+    """weights/neighbors: [..., S, S, outH, outW].  Zero-sum windows (fully
     out-of-view) produce NaN exactly like the reference; callers mask or
     zero them (eval_model.py:261)."""
+    acc = jnp.sum(weights * neighbors, axis=(-4, -3))
     if normalize:
-        wsum = jnp.sum(weights, axis=(-2, -1), keepdims=True)
-        weights = weights / wsum
-    return jnp.sum(weights * neighbors, axis=(-2, -1))
+        acc = acc / jnp.sum(weights, axis=(-4, -3))
+    return acc
 
 
 def _warp_dis(geom: WarpGeometry, dtype):
-    dx = jnp.asarray(geom.dis_x, dtype=dtype)[..., :, None]   # [oh,ow,S,1]
-    dy = jnp.asarray(geom.dis_y, dtype=dtype)[..., None, :]   # [oh,ow,1,S]
+    """dis [oh,ow,S] → broadcastable [S,1,oh,ow] / [1,S,oh,ow]."""
+    dx = jnp.asarray(geom.dis_x.transpose(2, 0, 1), dtype=dtype)[:, None]
+    dy = jnp.asarray(geom.dis_y.transpose(2, 0, 1), dtype=dtype)[None, :]
     return dx, dy
 
 
@@ -277,8 +289,8 @@ def amplified_linear_warp(img, alpha, geom: WarpGeometry, *,
     (``AmplifiedLinearWarp2dNumpy.warp``, resize_right2d_numpy.py:579-635)."""
     alpha = decode_linear_hyper(alpha, max_alpha)
     f_alpha = _gather_warp(alpha, geom, "edge")
-    dx64 = geom.dis_x[..., :, None]
-    dy64 = geom.dis_y[..., None, :]
+    dx64 = geom.dis_x.transpose(2, 0, 1)[:, None]     # [S,1,oh,ow]
+    dy64 = geom.dis_y.transpose(2, 0, 1)[None, :]     # [1,S,oh,ow]
     masks_x = tuple(jnp.asarray(a) for a in _branch_masks(dx64))
     masks_y = tuple(jnp.asarray(a) for a in _branch_masks(dy64))
     dx = jnp.asarray(dx64, img.dtype)
@@ -297,9 +309,9 @@ def fixed_kernel_warp(img, geom: WarpGeometry, kernel: str = "cubic", *,
     what produces the 0/1 validity mask for mPSNR.
     """
     kern1d = interp_kernels.NP_KERNELS_1D[kernel]
-    wx = kern1d(geom.dis_x)[..., :, None]               # host float64
-    wy = kern1d(geom.dis_y)[..., None, :]
-    weights = jnp.asarray(wx * wy, img.dtype)
+    wx = kern1d(geom.dis_x.transpose(2, 0, 1))[:, None]   # host float64
+    wy = kern1d(geom.dis_y.transpose(2, 0, 1))[None, :]
+    weights = jnp.asarray(wx * wy, img.dtype)             # [S,S,oh,ow]
     weights = jnp.broadcast_to(weights, img.shape[:-2] + weights.shape[-4:])
     neighbors = _gather_warp(img, geom, pad_mode)
     return _reduce_support_warp(weights, neighbors,

@@ -23,14 +23,22 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def simplex4d(lut: jnp.ndarray, a, b, c, d, interval: int = 4):
+def simplex4d(lut: jnp.ndarray, a, b, c, d, interval: int = 4,
+              lut_offset=None):
     """4D-simplex interpolation of int LUT values.
 
     Args:
       lut: ``[L**4, oC]`` int32 LUT (int8 values widened); ``L = 2**(8-interval)+1``.
+        For batched multi-table interpolation, ``[K·L⁴, oC]`` — the K tables
+        concatenated — with ``lut_offset`` selecting per element.
       a, b, c, d: int32 arrays (any broadcast-equal shape) of raw 8-bit pixel
         values 0..255 in the mode's (a,b,c,d) sampling-geometry order.
       interval: LSB bits (reference ``--interval``, default 4 → q=16, L=17).
+      lut_offset: optional int32 array broadcastable against ``a``, holding
+        ``k·L⁴`` flat offsets into a concatenated LUT stack.  This is the
+        TPU-first trick that collapses the whole mode×rotation ensemble into
+        ONE 5-gather interpolation (one XLA gather op instead of 60 —
+        60× fewer ops to schedule, ~10× faster XLA:TPU compiles).
 
     Returns:
       int32 array ``a.shape + (oC,)`` holding q × the interpolated value
@@ -46,6 +54,8 @@ def simplex4d(lut: jnp.ndarray, a, b, c, d, interval: int = 4):
     id_, fd = d // q, d % q
 
     base = ((ia * L + ib) * L + ic) * L + id_
+    if lut_offset is not None:
+        base = base + lut_offset
 
     # strict pairwise wins (reference comparisons fab..fcd, eval_lut_sr.py:218-224)
     fab = (fa > fb).astype(jnp.int32)

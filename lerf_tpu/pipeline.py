@@ -1,0 +1,326 @@
+"""High-level LeRF inference pipelines (LUT deploy path).
+
+Glues the LUT ensemble stages to the steerable resample ops, with a
+per-shape jit cache (static shapes per (in_shape, out_spec) pair — the
+TPU-idiomatic replacement for the reference's per-image ``set_shape``
+precompute, eval_lut_sr.py:644-661).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .lut.io import LUTBank
+from .ops import (
+    ResizeGeometry,
+    WarpGeometry,
+    amplified_linear_resize,
+    amplified_linear_warp,
+    lut_stage1,
+    lut_stage2,
+    nearest_warp_mask,
+    split_gaussian_hyper,
+    steering_gaussian_resize,
+    steering_gaussian_warp,
+)
+from .ops.lut_pipeline import lut_stage1_intermediate
+
+
+class NetPredictor:
+    """Two-stage *network* inference: feature net → hyper net → resample.
+
+    Mirrors the reference torch eval driver (eval_model.py:95-286) and the
+    in-training validation path (train_model.py:181-314), with the same
+    public API as :class:`LutPredictor` so the evaluation harness accepts
+    either.  ``stage1_fn(params, x)`` maps [C,H,W] in [0,1] → feature in
+    [0,255]; ``stage2_fn(params, x)`` maps [C,H,W] in [0,1] →
+    [C,H,W,oC] hyper in [0,1] (the reference's interleaved 3·C hyper
+    channels for inC=1, eval_model.py:142-147, are exactly this layout).
+    """
+
+    def __init__(self, params, stage1_fn, stage2_fn, *, linear: bool = False,
+                 two_stage: bool = True, supp_size: int = 2,
+                 max_sigma: float = 10.0, norm: int = 255):
+        self.params = params
+        self.stage1_fn = stage1_fn
+        self.stage2_fn = stage2_fn
+        self.linear = linear
+        self.two_stage = two_stage
+        self.supp_size = supp_size
+        self.max_sigma = max_sigma
+        self.norm = norm
+        self._resize_cache: Dict = {}
+        self._warp_cache: Dict = {}
+
+    @classmethod
+    def from_srnets(cls, params, *, modes=("s", "c", "t"),
+                    modes2=("s", "c", "t"), stages: int = 2,
+                    linear: bool = False, two_stage: bool = True,
+                    supp_size: int = 2, max_sigma: float = 10.0,
+                    norm: int = 255):
+        """LeRF-L/G trainable form (SRNetsSWF2 pixel-MLP ensemble)."""
+        from .models import srnet
+
+        def s1(p, x):
+            return srnet.predict_stage1(p, x, modes=modes, stages=stages,
+                                        norm=norm)
+
+        def s2(p, x):
+            return srnet.predict_stage2(p, x, modes2=modes2, norm=norm)
+
+        return cls(params, s1, s2, linear=linear, two_stage=two_stage,
+                   supp_size=supp_size, max_sigma=max_sigma, norm=norm)
+
+    @classmethod
+    def from_imdn(cls, model, variables, *, out_c: int = 3,
+                  linear: bool = False, supp_size: int = 2,
+                  max_sigma: float = 10.0, norm: int = 255):
+        """LeRF-Net / LeRF-Net++ (IMDN2 flax module, inC=3).
+
+        Hyper layout parity: stage2 emits 3·featC channels ordered
+        [ρ·featC, σx·featC, σy·featC] (eval_model.py:149) → reshaped to the
+        trailing-axis convention [C,H,W,oC] with oC blocks outermost.
+        """
+        def s1(p, x):                      # x [C,H,W] → [C,H,W]
+            nhwc = x[None].transpose(0, 2, 3, 1)
+            out = model.apply(p, nhwc, 1)
+            return out[0].transpose(2, 0, 1)
+
+        def s2(p, x):
+            nhwc = x[None].transpose(0, 2, 3, 1)
+            out = model.apply(p, nhwc, 2)[0]          # [H,W,3·C]
+            c = x.shape[0]
+            # [H,W,oC,C] → [C,H,W,oC]
+            out = out.reshape(out.shape[0], out.shape[1], out_c, c)
+            return out.transpose(3, 0, 1, 2)
+
+        return cls(variables, s1, s2, linear=linear, supp_size=supp_size,
+                   max_sigma=max_sigma, norm=norm)
+
+    def _stages(self, img_f):
+        """img [C,H,W] float in [0,1] → (feat [0,255], hyper [C,H,W,oC])."""
+        if self.two_stage:
+            feat = self.stage1_fn(self.params, img_f)
+            hyper_in = feat / float(self.norm)
+        else:
+            feat = jnp.round(img_f * self.norm)
+            hyper_in = img_f
+        hyper = self.stage2_fn(self.params, hyper_in)
+        return feat, hyper
+
+    def _resize_fn(self, in_sz, scale):
+        key = (in_sz, scale)
+        if key not in self._resize_cache:
+            geom = ResizeGeometry.create(in_sz, scale_factors=list(scale),
+                                         support=self.supp_size)
+
+            @jax.jit
+            def run(img_f):
+                feat, hyper = self._stages(img_f)
+                if self.linear:
+                    out = amplified_linear_resize(feat, hyper[..., 0], geom)
+                else:
+                    out = steering_gaussian_resize(
+                        feat, hyper[..., 0], hyper[..., 1], hyper[..., 2],
+                        geom, max_sigma=self.max_sigma)
+                return out, feat, hyper
+
+            self._resize_cache[key] = run
+        return self._resize_cache[key]
+
+    def upscale(self, img_hwc: np.ndarray, scale_h: float, scale_w: float,
+                return_aux: bool = False):
+        img = np.asarray(img_hwc)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        chw = np.ascontiguousarray(img.transpose(2, 0, 1)) \
+            .astype(np.float32) / self.norm
+        if float(scale_h) == 1.0 and float(scale_w) == 1.0:
+            # skip path (eval_model.py:153-154)
+            out = np.round(chw * self.norm)
+            out_u8 = np.clip(out, 0, self.norm).astype(np.uint8)
+            return out_u8.transpose(1, 2, 0)
+        run = self._resize_fn(chw.shape[1:], (float(scale_h), float(scale_w)))
+        out, feat, hyper = run(jnp.asarray(chw))
+        out_u8 = np.clip(np.round(np.asarray(out)), 0,
+                         self.norm).astype(np.uint8).transpose(1, 2, 0)
+        if return_aux:
+            return out_u8, np.asarray(feat), np.asarray(hyper)
+        return out_u8
+
+    def _warp_fn(self, in_sz, matrix_key, geom, mask_geom):
+        key = (in_sz, matrix_key, geom.out_sz)
+        if key not in self._warp_cache:
+
+            @jax.jit
+            def run(img_f):
+                feat, hyper = self._stages(img_f)
+                if self.linear:
+                    out = amplified_linear_warp(feat, hyper[..., 0], geom)
+                else:
+                    out = steering_gaussian_warp(
+                        feat, hyper[..., 0], hyper[..., 1], hyper[..., 2],
+                        geom, max_sigma=self.max_sigma)
+                mask = nearest_warp_mask(in_sz, mask_geom, border=4)
+                return out, mask
+
+            self._warp_cache[key] = run
+        return self._warp_cache[key]
+
+    def warp(self, img_hwc: np.ndarray, matrix: np.ndarray,
+             out_hw: Tuple[int, int]):
+        img = np.asarray(img_hwc)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        chw = np.ascontiguousarray(img.transpose(2, 0, 1)) \
+            .astype(np.float32) / self.norm
+        in_sz = chw.shape[1:]
+        geom = WarpGeometry.create(in_sz, matrix, out_hw,
+                                   support=self.supp_size)
+        mask_geom = WarpGeometry.create(in_sz, matrix, out_hw, support=1)
+        run = self._warp_fn(in_sz, matrix.tobytes(), geom, mask_geom)
+        out, mask = run(jnp.asarray(chw))
+        out = np.nan_to_num(np.asarray(out), nan=0.0)
+        out_u8 = np.clip(np.round(out), 0,
+                         self.norm).astype(np.uint8).transpose(1, 2, 0)
+        return out_u8, np.asarray(mask) == 1.0
+
+
+class LutPredictor:
+    """Two-stage LUT inference: feature LUTs → hyper LUTs → steerable resample.
+
+    Mirrors the reference deploy driver semantics (eval_lut_sr.py /
+    eval_lut_warp.py) with bit-exact stage arithmetic.  One compiled
+    executable per distinct (input shape, output spec); traces are cached.
+    """
+
+    def __init__(self, bank: LUTBank, *, linear: bool = False,
+                 modes=("s", "c", "t"), modes2=("s", "c", "t"),
+                 supp_size: int = 2, max_sigma: float = 10.0,
+                 stages: int = 2, norm: int = 255):
+        self.bank = bank
+        self.linear = linear
+        self.modes = tuple(modes)
+        self.modes2 = tuple(modes2)
+        self.supp_size = supp_size
+        self.max_sigma = max_sigma
+        self.stages = stages
+        self.norm = norm
+        s1, s2 = bank.as_int32()
+        self._s1 = {k: jnp.asarray(v) for k, v in s1.items()}
+        self._s2 = {k: jnp.asarray(v) for k, v in s2.items()}
+        self._resize_cache: Dict = {}
+        self._warp_cache: Dict = {}
+
+    # -- stages -------------------------------------------------------------
+
+    def _stages_fn(self, img_i32):
+        """img [C,H,W] int32 → (feat int32 [C,H,W], hyper_u8 int32 [C,H,W,oC])."""
+        interval = self.bank.interval
+        feat = img_i32
+        for s in range(self.stages - 1):
+            if s + 1 == self.stages - 1:
+                feat = lut_stage1(feat, self._s1, self.modes,
+                                  interval=interval, norm=self.norm)
+            else:
+                feat = lut_stage1_intermediate(feat, self._s1, self.modes,
+                                               interval=interval,
+                                               norm=self.norm)
+        hyper = lut_stage2(feat, self._s2, self.modes2, interval=interval,
+                           norm=self.norm)
+        return feat, hyper
+
+    # -- SR -----------------------------------------------------------------
+
+    def _resize_fn(self, in_sz: Tuple[int, int], scale: Tuple[float, float]):
+        key = (in_sz, scale)
+        if key not in self._resize_cache:
+            geom = ResizeGeometry.create(in_sz, scale_factors=list(scale),
+                                         support=self.supp_size)
+
+            @jax.jit
+            def run(img_i32):
+                feat, hyper = self._stages_fn(img_i32)
+                featf = feat.astype(jnp.float32)
+                if self.linear:
+                    alpha = hyper[..., 0].astype(jnp.float32) / self.norm
+                    out = amplified_linear_resize(featf, alpha, geom)
+                else:
+                    rho, sx, sy = split_gaussian_hyper(hyper, self.norm)
+                    out = steering_gaussian_resize(featf, rho, sx, sy, geom,
+                                                   max_sigma=self.max_sigma)
+                return out, feat, hyper
+
+            self._resize_cache[key] = run
+        return self._resize_cache[key]
+
+    def upscale(self, img_hwc: np.ndarray, scale_h: float, scale_w: float,
+                return_aux: bool = False):
+        """uint8/float [H,W,C] → uint8 [outH,outW,C] (plus feat/hyper)."""
+        img = np.asarray(img_hwc)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        chw = np.ascontiguousarray(img.transpose(2, 0, 1)).astype(np.int32)
+        run = self._resize_fn(chw.shape[1:], (float(scale_h), float(scale_w)))
+        out, feat, hyper = run(jnp.asarray(chw))
+        out = np.asarray(out)
+        out_u8 = np.clip(np.round(out), 0, self.norm).astype(np.uint8)
+        out_u8 = out_u8.transpose(1, 2, 0)
+        if return_aux:
+            return out_u8, np.asarray(feat), np.asarray(hyper)
+        return out_u8
+
+    # -- warp ---------------------------------------------------------------
+
+    def _warp_fn(self, in_sz, matrix_key, geom: WarpGeometry,
+                 mask_geom: WarpGeometry):
+        key = (in_sz, matrix_key, geom.out_sz)
+        if key not in self._warp_cache:
+
+            @jax.jit
+            def run(img_i32):
+                feat, hyper = self._stages_fn(img_i32)
+                featf = feat.astype(jnp.float32)
+                if self.linear:
+                    alpha = hyper[..., 0].astype(jnp.float32) / self.norm
+                    out = amplified_linear_warp(featf, alpha, geom)
+                else:
+                    rho, sx, sy = split_gaussian_hyper(hyper, self.norm)
+                    out = steering_gaussian_warp(featf, rho, sx, sy, geom,
+                                                 max_sigma=self.max_sigma)
+                mask = nearest_warp_mask(in_sz, mask_geom, border=4)
+                return out, mask, feat, hyper
+
+            self._warp_cache[key] = run
+        return self._warp_cache[key]
+
+    def warp(self, img_hwc: np.ndarray, matrix: np.ndarray,
+             out_hw: Tuple[int, int], return_aux: bool = False):
+        """Homographic warp.  Returns (uint8 out [oH,oW,C], bool mask [oH,oW]).
+
+        NaN outputs (fully out-of-view support windows) are zeroed before
+        quantization, matching the torch eval path (eval_model.py:261); those
+        pixels are excluded by the mask in mPSNR anyway.
+        """
+        img = np.asarray(img_hwc)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        chw = np.ascontiguousarray(img.transpose(2, 0, 1)).astype(np.int32)
+        in_sz = chw.shape[1:]
+        geom = WarpGeometry.create(in_sz, matrix, out_hw,
+                                   support=self.supp_size)
+        mask_geom = WarpGeometry.create(in_sz, matrix, out_hw, support=1)
+        run = self._warp_fn(in_sz, matrix.tobytes(), geom, mask_geom)
+        out, mask, feat, hyper = run(jnp.asarray(chw))
+        out = np.asarray(out)
+        out = np.nan_to_num(out, nan=0.0)
+        out_u8 = np.clip(np.round(out), 0, self.norm).astype(np.uint8)
+        out_u8 = out_u8.transpose(1, 2, 0)
+        mask = np.asarray(mask) == 1.0
+        if return_aux:
+            return out_u8, mask, np.asarray(feat), np.asarray(hyper)
+        return out_u8, mask

@@ -3,11 +3,17 @@ import sys
 
 # Tests run on a virtual 8-device CPU mesh for determinism and to exercise
 # multi-chip sharding without TPU hardware.  Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon TPU plugin registers itself from sitecustomize and overrides
+# JAX_PLATFORMS; forcing the config after import wins.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:

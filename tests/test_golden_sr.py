@@ -1,0 +1,60 @@
+"""Golden end-to-end test: shipped reference LUTs + bundled Set5 must
+reproduce the published tables (reference scripts.sh:32-47)."""
+import os
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_ROOT
+from lerf_tpu.evaluate import run_sr_benchmark, run_warp_benchmark
+from lerf_tpu.lut import load_lut_bank
+from lerf_tpu.pipeline import LutPredictor
+
+RR = os.path.join(REFERENCE_ROOT, "data", "rrBenchmark")
+WARP = os.path.join(REFERENCE_ROOT, "data", "WarpBenchmark")
+MODELS = os.path.join(REFERENCE_ROOT, "models")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(RR), reason="reference fixtures not available")
+
+# scripts.sh:33-38
+GOLDEN_SR = {
+    "lerf-g": {(2, 2): (35.71, 0.9475), (3, 3): (32.02, 0.8980),
+               (4, 4): (30.15, 0.8548)},
+    "lerf-l": {(2, 2): (34.84, 0.9432), (3, 3): (30.72, 0.8773),
+               (4, 4): (29.13, 0.8270)},
+}
+# scripts.sh:42-47
+GOLDEN_WARP = {
+    "lerf-g": {"isc": 33.81, "osc": 27.89},
+    "lerf-l": {"isc": 32.90, "osc": 27.13},
+}
+
+
+def make_predictor(model: str) -> LutPredictor:
+    linear = model == "lerf-l"
+    bank = load_lut_bank(os.path.join(MODELS, model),
+                         out_c=1 if linear else 3)
+    return LutPredictor(bank, linear=linear)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model", ["lerf-g", "lerf-l"])
+def test_set5_sr_golden(model):
+    pred = make_predictor(model)
+    res = run_sr_benchmark(pred, RR, "Set5", [(2, 2), (3, 3), (4, 4)])
+    for scale, (want_p, want_s) in GOLDEN_SR[model].items():
+        got_p, got_s = res[scale]
+        assert abs(got_p - want_p) < 0.011, (model, scale, got_p, want_p)
+        assert abs(got_s - want_s) < 0.0011, (model, scale, got_s, want_s)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model", ["lerf-g", "lerf-l"])
+def test_set5_warp_golden(model):
+    # WarpBenchmark fixtures ship isc/osc but not HR; the HR images are the
+    # standard Set5 set bundled under rrBenchmark.
+    pred = make_predictor(model)
+    res = run_warp_benchmark(pred, WARP, "Set5", ("isc", "osc"), hr_root=RR)
+    for scale_p, want in GOLDEN_WARP[model].items():
+        assert abs(res[scale_p] - want) < 0.011, (model, scale_p, res, want)

@@ -1,0 +1,154 @@
+"""Bit-exactness tests: branchless simplex + LUT ensemble vs the reference."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lerf_tpu.ops import lut_ensemble, lut_stage1, lut_stage2, simplex4d
+from lerf_tpu.ops.lut_pipeline import MODE_OFFSETS, MODE_PAD
+from lerf_tpu.ops.simplex import round_half_even_div
+from oracle import requires_reference, ref_four_simplex
+
+RNG = np.random.RandomState
+
+
+def rand_lut(oC, seed=0):
+    return RNG(seed).randint(-127, 128, size=(17 ** 4, oC)).astype(np.int8)
+
+
+def rand_img_u8(c, h, w, seed=0):
+    return RNG(seed).randint(0, 256, size=(c, h, w)).astype(np.int32)
+
+
+def ref_simplex(lut_i8, img_u8, mode, rot, oC):
+    """Run the reference FourSimplexInterpFaster on an edge-padded image."""
+    four = ref_four_simplex()
+    pad = MODE_PAD[mode]
+    c, h, w = img_u8.shape
+    img_in = np.pad(img_u8.astype(np.float32), ((0, 0), (0, pad), (0, pad)),
+                    mode="edge")
+    return four(lut_i8.astype(np.float32).reshape(-1, oC), img_in, h, w,
+                4, rot, upscale=1, mode=mode, oC=oC)
+
+
+@requires_reference
+@pytest.mark.parametrize("mode", ["s", "d", "y", "c", "t"])
+@pytest.mark.parametrize("oC", [1, 3])
+def test_simplex_matches_reference_rot0(mode, oC):
+    lut = rand_lut(oC, seed=hash(mode) % 100)
+    img = rand_img_u8(2, 11, 13, seed=3)
+
+    want = ref_simplex(lut, img, mode, rot=4, oC=oC)  # rot=4 → identity
+
+    pad = 3
+    xpad = np.pad(img, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+    h, w = img.shape[1:]
+    offs = MODE_OFFSETS[mode]
+    abcd = [jnp.asarray(xpad[:, pad + oi:pad + oi + h, pad + oj:pad + oj + w])
+            for (oi, oj) in offs]
+    got = np.asarray(simplex4d(jnp.asarray(lut.astype(np.int32)), *abcd))
+    # reference returns [C*oC, h, w] floats = (our int / q)
+    got = got.transpose(0, 3, 1, 2).reshape(img.shape[0] * oC, h, w) / 16.0
+    np.testing.assert_array_equal(got, want)
+
+
+@requires_reference
+@pytest.mark.parametrize("mode", ["s", "y", "c", "t"])
+@pytest.mark.parametrize("rot", [1, 2, 3])
+def test_rotated_offsets_match_reference_rotation_ensemble(mode, rot):
+    """rot90(interp(pad(rot90(img, r)))) == shifted-slice sampling with
+    inverse-rotated offsets — the core TPU redesign of the ensemble."""
+    oC = 3
+    lut = rand_lut(oC, seed=17 + rot)
+    img = rand_img_u8(1, 10, 12, seed=rot)
+
+    img_rot = np.rot90(img.transpose(1, 2, 0), rot)  # HWC like the reference
+    c, h, w = 1, img_rot.shape[0], img_rot.shape[1]
+    pad = MODE_PAD[mode]
+    img_in = np.pad(img_rot.astype(np.float32),
+                    ((0, pad), (0, pad), (0, 0)), mode="edge").transpose(2, 0, 1)
+    four = ref_four_simplex()
+    want = four(lut.astype(np.float32).reshape(-1, oC), img_in, h, w, 4,
+                4 - rot, upscale=1, mode=mode, oC=oC)  # [C*oC, H, W]
+
+    luts = {mode: jnp.asarray(lut.astype(np.int32))}
+    # single (mode, rot) member via the ensemble internals
+    from lerf_tpu.ops.lut_pipeline import _pad_all_sides, _sample4
+    xpad = _pad_all_sides(jnp.asarray(img))
+    a, b, c_, d = _sample4(xpad, img.shape[1], img.shape[2], mode, rot)
+    got = np.asarray(simplex4d(luts[mode], a, b, c_, d))
+    got = got.transpose(0, 3, 1, 2).reshape(oC, img.shape[1], img.shape[2]) / 16.0
+    np.testing.assert_array_equal(got, want)
+
+
+def test_round_half_even_div():
+    num = jnp.asarray(np.arange(0, 1000, dtype=np.int32))
+    for den in [3, 16, 48, 192]:
+        got = np.asarray(round_half_even_div(num, den))
+        want = np.round(np.arange(0, 1000, dtype=np.float64) / den)
+        np.testing.assert_array_equal(got, want.astype(np.int64))
+
+
+@requires_reference
+def test_stage1_bit_exact():
+    """Full stage-1 ensemble (3 modes × 4 rots) vs reference eval loop."""
+    modes = ["s", "c", "t"]
+    luts = {m: rand_lut(1, seed=i) for i, m in enumerate(modes)}
+    img = rand_img_u8(3, 9, 14, seed=5)
+
+    # reference: eval_lut_sr.py:541-577
+    img_hwc = img.transpose(1, 2, 0).astype(np.float32)
+    four = ref_four_simplex()
+    pred = 0
+    for m in modes:
+        pad = MODE_PAD[m]
+        for r in range(4):
+            rot_img = np.rot90(img_hwc, r)
+            h, w, _ = rot_img.shape
+            img_in = np.pad(rot_img, ((0, pad), (0, pad), (0, 0)),
+                            mode="edge").transpose(2, 0, 1)
+            pred = pred + four(luts[m].astype(np.float32).reshape(-1, 1),
+                               img_in, h, w, 4, 4 - r, upscale=1, mode=m, oC=1)
+    want = np.round(np.clip(pred / len(modes), 0, 255))
+
+    jluts = {m: jnp.asarray(l.astype(np.int32)) for m, l in luts.items()}
+    got = np.asarray(lut_stage1(jnp.asarray(img), jluts, modes))
+    np.testing.assert_array_equal(got, want.astype(np.int64))
+
+
+@requires_reference
+def test_stage2_bit_exact():
+    """Hyper stage (r0 LUT on rots 0/2, r1 on 1/3) vs reference eval loop."""
+    modes2 = ["s", "c", "t"]
+    luts = {}
+    for i, m in enumerate(modes2):
+        luts[f"{m}r0"] = rand_lut(3, seed=30 + i)
+        luts[f"{m}r1"] = rand_lut(3, seed=60 + i)
+    img = rand_img_u8(3, 9, 14, seed=6)
+
+    img_hwc = img.transpose(1, 2, 0).astype(np.float32)
+    four = ref_four_simplex()
+    pred = 0
+    for m in modes2:
+        pad = MODE_PAD[m]
+        for r in [0, 2]:
+            rot_img = np.rot90(img_hwc, r)
+            h, w, _ = rot_img.shape
+            img_in = np.pad(rot_img, ((0, pad), (0, pad), (0, 0)),
+                            mode="edge").transpose(2, 0, 1)
+            pred = pred + four(luts[f"{m}r0"].astype(np.float32).reshape(-1, 3),
+                               img_in, h, w, 4, 4 - r, upscale=1, mode=m, oC=3)
+        for r in [1, 3]:
+            rot_img = np.rot90(img_hwc, r)
+            h, w, _ = rot_img.shape
+            img_in = np.pad(rot_img, ((0, pad), (0, pad), (0, 0)),
+                            mode="edge").transpose(2, 0, 1)
+            pred = pred + four(luts[f"{m}r1"].astype(np.float32).reshape(-1, 3),
+                               img_in, h, w, 4, 4 - r, upscale=1, mode=m, oC=3)
+    want = np.round(np.clip(pred / (len(modes2) * 4) + 127, 0, 255))
+    # reference layout [C*oC, H, W] -> ours [C, H, W, oC]
+    want = want.reshape(3, 3, 9, 14).transpose(0, 2, 3, 1)
+
+    jluts = {k: jnp.asarray(l.astype(np.int32)) for k, l in luts.items()}
+    got = np.asarray(lut_stage2(jnp.asarray(img), jluts, modes2))
+    np.testing.assert_array_equal(got, want.astype(np.int64))
