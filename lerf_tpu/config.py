@@ -66,6 +66,22 @@ class BaseConfig:
                 + "-" + self.model
         return self.exp_dir
 
+    def snapshot_code(self, out_dir: Optional[str] = None):
+        """Snapshot the framework sources into ``{expDir}/code`` for
+        experiment provenance (reference option.py:113-119)."""
+        import shutil
+        out_dir = out_dir or self.exp_dir
+        pkg_root = os.path.dirname(os.path.abspath(__file__))
+        dst_root = os.path.join(out_dir, "code")
+        for dirpath, _, files in os.walk(pkg_root):
+            rel = os.path.relpath(dirpath, pkg_root)
+            for f in files:
+                if f.endswith(".py"):
+                    dst = os.path.join(dst_root, rel)
+                    os.makedirs(dst, exist_ok=True)
+                    shutil.copy2(os.path.join(dirpath, f),
+                                 os.path.join(dst, f))
+
     def save(self, out_dir: Optional[str] = None):
         out_dir = out_dir or self.exp_dir
         os.makedirs(out_dir, exist_ok=True)
@@ -107,6 +123,7 @@ class TrainConfig(BaseConfig):
     data_axis: int = -1          # -1 = all local devices (pjit DP)
     seed: int = 0
     keep_checkpoints: int = 5
+    profile_steps: int = 0       # >0: jax.profiler trace of that many steps
 
     def apply_debug(self):
         """Debug-mode shrinkage (option.py:164-170)."""

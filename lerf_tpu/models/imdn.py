@@ -94,8 +94,13 @@ class IMDN2(nn.Module):
                                dtype=self.dtype)
 
     def predict(self, x, stage: int = 1):
-        """x: NHWC in [0,1].  stage1 → [0,255] feature; stage2 → [0,1] hyper."""
+        """x: NHWC in [0,1].  stage1 → [0,255] feature; stage2 → [0,1] hyper.
+
+        ``stage=0`` runs both towers (used only to initialize all params).
+        """
         half = self.norm // 2
+        if stage == 0:
+            return self.stage1(x), self.stage2(x)
         if stage == 2:
             return jnp.clip(self.stage2(x), -1, 1) / 2 + 0.5
         return jnp.clip(self.stage1(x), -1, 1) * half + half

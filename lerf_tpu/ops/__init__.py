@@ -11,7 +11,12 @@ from .resample import (
     steering_gaussian_resize,
     steering_gaussian_warp,
 )
-from .simplex import round_half_even_div, simplex4d
+from .simplex import (
+    build_cell_table,
+    round_half_even_div,
+    simplex4d,
+    simplex4d_cells,
+)
 from .lut_pipeline import (
     MODE_OFFSETS,
     MODE_PAD,
@@ -25,7 +30,8 @@ __all__ = [
     "ResizeGeometry", "WarpGeometry", "resolve_scale_and_out_sz",
     "steering_gaussian_resize", "amplified_linear_resize",
     "fixed_kernel_resize", "steering_gaussian_warp", "amplified_linear_warp",
-    "fixed_kernel_warp", "nearest_warp_mask", "simplex4d",
+    "fixed_kernel_warp", "nearest_warp_mask", "simplex4d", "simplex4d_cells",
+    "build_cell_table",
     "round_half_even_div", "lut_ensemble", "lut_stage1", "lut_stage2",
     "split_gaussian_hyper", "MODE_OFFSETS", "MODE_PAD",
 ]

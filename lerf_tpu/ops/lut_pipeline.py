@@ -25,7 +25,7 @@ from typing import Dict, Sequence
 
 import jax.numpy as jnp
 
-from .simplex import round_half_even_div, simplex4d
+from .simplex import round_half_even_div, simplex4d, simplex4d_cells
 
 # neighbor (row, col) offsets per sampling mode, in the rotated frame,
 # role order (a, b, c, d) — eval_lut_sr.py:31-81
@@ -125,13 +125,19 @@ def lut_ensemble(img: jnp.ndarray, luts: Dict[str, jnp.ndarray],
     Returns int32 [..., H, W, oC] (scale: q × avg-numerator).
 
     All 4·len(modes) members are evaluated as ONE batched simplex
-    interpolation over a stacked LUT (see ``simplex4d``'s ``lut_offset``) —
-    5 XLA gathers for the entire ensemble.
+    interpolation over a stacked LUT (see ``simplex4d``'s ``lut_offset``).
+    With flat [L⁴, oC] tables that is 5 XLA gathers for the entire
+    ensemble; with cell-major [16⁴, 16, oC] tables (``build_cell_table``,
+    the fast path) it is ONE contiguous row gather.
     """
     flat_lut, lut_offset, a, b, c, d = stack_ensemble_inputs(
         img, modes, split_r, luts)
-    s = simplex4d(flat_lut, a, b, c, d, interval=interval,
-                  lut_offset=lut_offset)
+    if flat_lut.ndim == 3:          # cell-major tables
+        s = simplex4d_cells(flat_lut, a, b, c, d, interval=interval,
+                            cell_offset=lut_offset)
+    else:
+        s = simplex4d(flat_lut, a, b, c, d, interval=interval,
+                      lut_offset=lut_offset)
     return jnp.sum(s, axis=0)
 
 

@@ -1,0 +1,95 @@
+"""Spatial (image-tile) parallelism — the sequence-parallel analog.
+
+The reference has no equivalent (single-GPU images).  For very large
+outputs, the output grid is sharded across the mesh along the output-row
+axis: the (small) source image and hyper maps are replicated, the per-row
+geometry arrays (field-of-view rows + distances) are sharded, and each chip
+computes only its slab of output rows.  For upscaling the input is a small
+fraction of the output, so replicating it costs far less than the output
+bandwidth saved; no halo exchange is needed because every chip gathers from
+the full replicated source.
+
+Implementation: ``shard_map`` over a 1-D mesh; geometry enters as device
+arrays (sharded on the row axis) instead of trace-time constants.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.geometry import ResizeGeometry
+from ..ops.resample import decode_gaussian_hyper, pad2d, \
+    steering_gaussian_weight
+from .mesh import DATA_AXIS
+
+
+def _resize_local(xpad, rhop, sxp, syp, fov_x, dis_x, fov_y, dis_y,
+                  support: int, aa_scale: float):
+    """One shard's slab: gather its output rows from the replicated padded
+    source.  fov_x/dis_x: [local_outH·S]; fov_y/dis_y: [outW·S]."""
+    def gather(z):
+        rows = jnp.take(z, fov_x, axis=-2)
+        return jnp.take(rows, fov_y, axis=-1)
+
+    dx = dis_x[:, None]
+    dy = dis_y[None, :]
+    w = steering_gaussian_weight(gather(rhop), gather(sxp), gather(syp),
+                                 aa_scale * dx, aa_scale * dy)
+    if aa_scale != 1.0:
+        w = aa_scale * w
+    n = gather(xpad)
+    wn = None
+    ws = None
+    for s in range(support):
+        for t in range(support):
+            wi = w[..., s::support, t::support]
+            ni = n[..., s::support, t::support]
+            wn = wi * ni if wn is None else wn + wi * ni
+            ws = wi if ws is None else ws + wi
+    return wn / ws
+
+
+def steering_gaussian_resize_sharded(img, rho, sigma_x, sigma_y,
+                                     geom: ResizeGeometry, mesh, *,
+                                     max_sigma: float = 10.0,
+                                     axis: str = DATA_AXIS,
+                                     pad_mode: str = "constant"):
+    """Row-sharded steerable resize: output [..., outH, outW] sharded on
+    outH across ``mesh``.  outH must divide by the mesh size."""
+    n = mesh.devices.size
+    oh, ow = geom.out_sz
+    S = geom.support
+    if oh % n:
+        raise ValueError(f"outH {oh} must divide mesh size {n}")
+
+    rho, sigma_x, sigma_y = decode_gaussian_hyper(rho, sigma_x, sigma_y,
+                                                  max_sigma)
+    xpad = pad2d(img, geom.pad_x, geom.pad_y, pad_mode)
+    rhop = pad2d(rho, geom.pad_x, geom.pad_y, "edge")
+    sxp = pad2d(sigma_x, geom.pad_x, geom.pad_y, "edge")
+    syp = pad2d(sigma_y, geom.pad_x, geom.pad_y, "edge")
+
+    aa = geom.min_scale if geom.antialias else 1.0
+    fov_x = jnp.asarray(geom.fov_x.reshape(-1))          # [oh·S]
+    dis_x = jnp.asarray((aa * geom.dis_x).reshape(-1), img.dtype)
+    fov_y = jnp.asarray(geom.fov_y.reshape(-1))          # [ow·S]
+    dis_y = jnp.asarray((aa * geom.dis_y).reshape(-1), img.dtype)
+
+    fn = partial(_resize_local, support=S, aa_scale=float(aa))
+    shardmapped = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(), P()),
+        out_specs=P(*([None] * (img.ndim - 2) + [axis, None])))
+    out = shardmapped(xpad, rhop, sxp, syp, fov_x, dis_x, fov_y, dis_y)
+    return out
+
+
+def sharded_out_sharding(mesh, ndim: int, axis: str = DATA_AXIS):
+    """NamedSharding matching the sharded resize output (rows split)."""
+    spec = [None] * ndim
+    spec[-2] = axis
+    return NamedSharding(mesh, P(*spec))

@@ -201,7 +201,8 @@ class LutPredictor:
     def __init__(self, bank: LUTBank, *, linear: bool = False,
                  modes=("s", "c", "t"), modes2=("s", "c", "t"),
                  supp_size: int = 2, max_sigma: float = 10.0,
-                 stages: int = 2, norm: int = 255):
+                 stages: int = 2, norm: int = 255,
+                 cell_tables: bool = True):
         self.bank = bank
         self.linear = linear
         self.modes = tuple(modes)
@@ -211,6 +212,13 @@ class LutPredictor:
         self.stages = stages
         self.norm = norm
         s1, s2 = bank.as_int32()
+        if cell_tables:
+            # cell-major layout: one row gather per lookup (simplex.py)
+            from .ops.simplex import build_cell_table
+            s1 = {k: build_cell_table(v, bank.interval)
+                  for k, v in s1.items()}
+            s2 = {k: build_cell_table(v, bank.interval)
+                  for k, v in s2.items()}
         self._s1 = {k: jnp.asarray(v) for k, v in s1.items()}
         self._s2 = {k: jnp.asarray(v) for k, v in s2.items()}
         self._resize_cache: Dict = {}

@@ -102,6 +102,43 @@ def srnets_adapter(cfg: TrainConfig, hp: TrainHParams) -> ModelAdapter:
                         finalize=lambda params, cfg: None)
 
 
+def imdn_adapter(cfg: TrainConfig, hp: TrainHParams) -> ModelAdapter:
+    """LeRF-Net / LeRF-Net++ (IMDN2, inC=3): CNN hyper-predictor trained
+    through the same steerable-resize objective (train_model.py:336-338
+    with --model IMDN2)."""
+    import jax.numpy as jnp
+
+    from ..models.imdn import IMDN2
+    from ..pipeline import NetPredictor
+
+    model = IMDN2(in_c=cfg.in_c, out_c=cfg.out_c, nf=cfg.nf, norm=cfg.norm)
+
+    def init(key):
+        return model.init(key, jnp.zeros((1, cfg.crop_size, cfg.crop_size,
+                                          cfg.in_c)), 0)
+
+    def s1(p, x):                       # [B,C,h,w] → [B,C,h,w]
+        nhwc = x.transpose(0, 2, 3, 1)
+        return model.apply(p, nhwc, 1).transpose(0, 3, 1, 2)
+
+    def s2(p, x):                       # [B,C,h,w] → [B,C,h,w,oC]
+        nhwc = x.transpose(0, 2, 3, 1)
+        out = model.apply(p, nhwc, 2)   # [B,h,w,oC·C]
+        b, hh, ww, _ = out.shape
+        out = out.reshape(b, hh, ww, cfg.out_c, cfg.in_c)
+        return out.transpose(0, 4, 1, 2, 3)
+
+    def predictor(params):
+        return NetPredictor.from_imdn(model, params, out_c=cfg.out_c,
+                                      linear=hp.linear,
+                                      supp_size=hp.supp_size,
+                                      max_sigma=hp.max_sigma, norm=hp.norm)
+
+    return ModelAdapter(init_params=init, stage1_fn=s1, stage2_fn=s2,
+                        make_predictor=predictor,
+                        finalize=lambda params, cfg: None)
+
+
 def lutft_adapter(cfg: TrainConfig, hp: TrainHParams) -> ModelAdapter:
     """LUT fine-tuning: tables from ``{exp_dir}/LUT_*.npy`` become the
     trainable params; finalize writes int8 ``LUTft_*.npy``."""
@@ -159,11 +196,17 @@ def train(cfg: TrainConfig, adapter: Optional[ModelAdapter] = None) -> Dict:
     cfg.apply_debug()
     cfg.resolve_exp_dir()
     cfg.save()
+    cfg.snapshot_code()
     logger = setup_logger(cfg.exp_dir, "lutft" if cfg.lutft else "train")
     writer = ScalarWriter(cfg.exp_dir)
     hp = hparams_from_config(cfg)
     if adapter is None:
-        adapter = (lutft_adapter if cfg.lutft else srnets_adapter)(cfg, hp)
+        if cfg.lutft:
+            adapter = lutft_adapter(cfg, hp)
+        elif cfg.model == "IMDN2":
+            adapter = imdn_adapter(cfg, hp)
+        else:
+            adapter = srnets_adapter(cfg, hp)
 
     mesh = make_mesh()
     n_dev = mesh.devices.size
@@ -194,9 +237,16 @@ def train(cfg: TrainConfig, adapter: Optional[ModelAdapter] = None) -> Dict:
                     nsigma=cfg.nsigma, in_c=cfg.in_c, seed=cfg.seed)
     provider = Provider(dataset, cfg.batch_size)
 
+    # optional device-level profiling window (aux subsystem; the reference
+    # only has wall-clock dT/rT accumulators — train_model.py:406-412)
+    prof_start = cfg.start_iter + 10 if cfg.profile_steps > 0 else -1
+    prof_stop = prof_start + cfg.profile_steps
+
     dT, rT = 0.0, 0.0
     loss = None
     for i in range(cfg.start_iter + 1, cfg.total_iter + 1):
+        if i == prof_start:
+            jax.profiler.start_trace(os.path.join(cfg.exp_dir, "profile"))
         st = time.time()
         im, lb = provider.next()
         batch = shard_batch((im, lb), mesh)
@@ -207,6 +257,11 @@ def train(cfg: TrainConfig, adapter: Optional[ModelAdapter] = None) -> Dict:
         if i % cfg.display_step == 0:
             loss.block_until_ready()
         rT += time.time() - st
+
+        if i == prof_stop:
+            loss.block_until_ready()
+            jax.profiler.stop_trace()
+            logger.info(f"profile trace written to {cfg.exp_dir}/profile")
 
         if i % cfg.display_step == 0:
             lval = float(loss)

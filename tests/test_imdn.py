@@ -1,0 +1,72 @@
+"""IMDN2 (LeRF-Net) model: forward shapes, predictor API, training step."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lerf_tpu.models.imdn import IMDN2
+from lerf_tpu.ops import ResizeGeometry
+from lerf_tpu.pipeline import NetPredictor
+from lerf_tpu.train.train_step import TrainHParams, TrainState, \
+    make_optimizer, make_train_step
+
+
+def make_model(nf=8):
+    model = IMDN2(in_c=3, out_c=3, nf=nf)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 16, 16, 3)), 0)
+    return model, variables
+
+
+def test_forward_ranges():
+    model, variables = make_model()
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 12, 14, 3),
+                    jnp.float32)
+    feat = model.apply(variables, x, 1)
+    hyper = model.apply(variables, x, 2)
+    assert feat.shape == (1, 12, 14, 3)
+    assert hyper.shape == (1, 12, 14, 9)
+    assert float(feat.min()) >= 0 and float(feat.max()) <= 255
+    assert float(hyper.min()) >= 0 and float(hyper.max()) <= 1
+
+
+def test_net_predictor_upscale_and_warp():
+    model, variables = make_model()
+    pred = NetPredictor.from_imdn(model, variables, out_c=3)
+    img = np.random.RandomState(1).randint(0, 256, (14, 18, 3),
+                                           dtype=np.uint8)
+    out = pred.upscale(img, 2, 2)
+    assert out.shape == (28, 36, 3) and out.dtype == np.uint8
+    out15 = pred.upscale(img, 1.5, 2.5)
+    assert out15.shape == (21, 45, 3)
+
+    matrix = np.linalg.inv(np.diag([0.5, 0.5, 1.0]))
+    warped, mask = pred.warp(img, matrix, (28, 36))
+    assert warped.shape == (28, 36, 3) and mask.shape == (28, 36)
+
+
+def test_imdn_train_step_runs():
+    from lerf_tpu.config import TrainConfig
+    from lerf_tpu.train.loop import hparams_from_config, imdn_adapter
+
+    cfg = TrainConfig(model="IMDN2", in_c=3, out_c=3, nf=8, crop_size=8,
+                      scale="2", two_stage=True, total_iter=10)
+    hp = hparams_from_config(cfg)
+    adapter = imdn_adapter(cfg, hp)
+    params = adapter.init_params(jax.random.PRNGKey(0))
+    tx = make_optimizer(hp)
+    state = TrainState.create(params, tx)
+    geom = ResizeGeometry.create((8, 8), scale_factors=[2.0, 2.0],
+                                 support=2, antialias=False)
+    step = make_train_step(tx, geom, hp, mesh=None,
+                           stage1_fn=adapter.stage1_fn,
+                           stage2_fn=adapter.stage2_fn)
+    rng = np.random.RandomState(0)
+    im = jnp.asarray(rng.rand(2, 3, 8, 8).astype(np.float32))
+    lb = jnp.asarray(rng.rand(2, 3, 16, 16).astype(np.float32))
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, im, lb)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

@@ -152,3 +152,41 @@ def test_stage2_bit_exact():
     jluts = {k: jnp.asarray(l.astype(np.int32)) for k, l in luts.items()}
     got = np.asarray(lut_stage2(jnp.asarray(img), jluts, modes2))
     np.testing.assert_array_equal(got, want.astype(np.int64))
+
+
+def test_cell_table_simplex_matches_flat():
+    """Cell-major fast path == flat simplex4d, bit-exact, all 24 orders."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lerf_tpu.ops.simplex import build_cell_table, simplex4d, \
+        simplex4d_cells
+
+    rng = np.random.RandomState(0)
+    lut = rng.randint(-127, 128, (17 ** 4, 3)).astype(np.int32)
+    cells = build_cell_table(lut)
+    assert cells.shape == (16 ** 4, 16, 3)
+
+    vals = rng.randint(0, 256, (4, 5, 97)).astype(np.int32)
+    a, b, c, d = (jnp.asarray(v) for v in vals)
+    want = np.asarray(simplex4d(jnp.asarray(lut), a, b, c, d))
+    got = np.asarray(simplex4d_cells(jnp.asarray(cells), a, b, c, d))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cell_table_ensemble_offsets():
+    """Stacked cell tables with offsets == per-table flat ensembles."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lerf_tpu.ops import lut_ensemble
+    from lerf_tpu.ops.simplex import build_cell_table
+
+    rng = np.random.RandomState(1)
+    L4 = 17 ** 4
+    flat = {m: jnp.asarray(rng.randint(-127, 128, (L4, 1)).astype(np.int32))
+            for m in "sct"}
+    cellv = {k: jnp.asarray(build_cell_table(np.asarray(v)))
+             for k, v in flat.items()}
+    img = jnp.asarray(rng.randint(0, 256, (2, 9, 11)).astype(np.int32))
+    want = np.asarray(lut_ensemble(img, flat, ("s", "c", "t")))
+    got = np.asarray(lut_ensemble(img, cellv, ("s", "c", "t")))
+    np.testing.assert_array_equal(got, want)

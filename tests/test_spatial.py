@@ -1,0 +1,32 @@
+"""Spatial (output-row) sharding of the steerable resize on the CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lerf_tpu.ops import ResizeGeometry, steering_gaussian_resize
+from lerf_tpu.parallel import make_mesh
+from lerf_tpu.parallel.spatial import steering_gaussian_resize_sharded
+
+
+@pytest.mark.parametrize("scale", [[2, 2], [2.5, 1.5]])
+def test_sharded_resize_matches_unsharded(scale):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(0)
+    c, h, w = 3, 16, 20
+    geom = ResizeGeometry.create((h, w), scale_factors=scale, support=2)
+    if geom.out_sz[0] % 8:
+        geom = ResizeGeometry.create((h, w), out_sz=(
+            (geom.out_sz[0] // 8) * 8, geom.out_sz[1]), support=2)
+    img = jnp.asarray(rng.rand(c, h, w).astype(np.float32) * 255)
+    hyper = rng.rand(3, c, h, w).astype(np.float32)
+    rho, sx, sy = (jnp.asarray(x) for x in hyper)
+
+    want = np.asarray(steering_gaussian_resize(img, rho, sx, sy, geom))
+    got = np.asarray(jax.jit(
+        lambda *a: steering_gaussian_resize_sharded(*a, geom, mesh))(
+            img, rho, sx, sy))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
