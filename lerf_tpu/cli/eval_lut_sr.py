@@ -22,8 +22,8 @@ DEFAULT_SCALES = [[2, 2], [3, 3], [4, 4]]
 
 def main(argv=None, datasets=None, scales=None):
     cfg = parse_config(TestConfig, argv)
-    datasets = datasets or DEFAULT_DATASETS
-    scales = scales or DEFAULT_SCALES
+    datasets = datasets or cfg.dataset_list() or DEFAULT_DATASETS
+    scales = scales or cfg.scale_list() or DEFAULT_SCALES
 
     out_c = 1 if cfg.linear else 3
     bank = load_lut_bank(cfg.exp_dir, lut_name=cfg.lut_name,

@@ -23,7 +23,7 @@ DEFAULT_SCALE_PS = ["isc", "osc"]
 
 def main(argv=None, datasets=None, scale_ps=None):
     cfg = parse_config(TestConfig, argv)
-    datasets = datasets or DEFAULT_DATASETS
+    datasets = datasets or cfg.dataset_list() or DEFAULT_DATASETS
     scale_ps = scale_ps or DEFAULT_SCALE_PS
 
     out_c = 1 if cfg.linear else 3

@@ -52,7 +52,7 @@ def build_predictor(cfg: TestConfig) -> NetPredictor:
 
 def main(argv=None, datasets=None):
     cfg = parse_config(TestConfig, argv)
-    datasets = datasets or DEFAULT_DATASETS
+    datasets = datasets or cfg.dataset_list() or DEFAULT_DATASETS
     pred = build_predictor(cfg)
     exp_name = cfg.exp_dir.rstrip("/").split("/")[-1]
 
@@ -67,7 +67,7 @@ def main(argv=None, datasets=None):
         return results
 
     post = 2 if "PreUpsample" in cfg.test_dir else 1
-    scales = [tuple(s) for s in DEFAULT_SCALES]
+    scales = cfg.scale_list() or [tuple(s) for s in DEFAULT_SCALES]
     results = {ds: run_sr_benchmark(
         pred, cfg.test_dir, ds, scales, result_root=cfg.result_root,
         exp_name=exp_name, post=post) for ds in datasets}

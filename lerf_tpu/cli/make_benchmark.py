@@ -18,21 +18,17 @@ import sys
 import numpy as np
 
 from ..data.benchmarks import list_pngs, load_image, save_image
-from ..ops import ResizeGeometry, fixed_kernel_resize
-
-KERNEL_SUPPORT = {"cubic": 4, "linear": 2, "box": 1, "lanczos2": 4,
-                  "lanczos3": 6}
+from ..ops import resize
+from ..ops.resample import _KERNEL_SUPPORT as KERNEL_SUPPORT
 
 
 def downscale(hr: np.ndarray, scale_h: float, scale_w: float,
               kernel: str = "cubic") -> np.ndarray:
     import jax.numpy as jnp
     chw = hr.transpose(2, 0, 1)
-    geom = ResizeGeometry.create(chw.shape[1:],
-                                 scale_factors=[1.0 / scale_h, 1.0 / scale_w],
-                                 support=KERNEL_SUPPORT[kernel],
-                                 antialias=True)
-    out = np.asarray(fixed_kernel_resize(jnp.asarray(chw), geom, kernel))
+    out = np.asarray(resize(jnp.asarray(chw),
+                            scale_factors=[1.0 / scale_h, 1.0 / scale_w],
+                            interp_method=kernel))
     return np.clip(np.round(out), 0, 255).astype(np.uint8).transpose(1, 2, 0)
 
 

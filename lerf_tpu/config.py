@@ -143,6 +143,23 @@ class TestConfig(BaseConfig):
     load_iter: int = 50000
     lut_name: str = "LUTft"
     hr_root: str = ""            # optional separate HR root for warp eval
+    datasets: str = "Set5"       # comma list of benchmark sets
+    scales: str = "2,3,4"        # comma list; 'HxW' pairs allowed
+
+    def dataset_list(self):
+        return [d for d in self.datasets.split(",") if d]
+
+    def scale_list(self):
+        out = []
+        for s in self.scales.split(","):
+            if not s:
+                continue
+            if "x" in s:
+                h, w = s.split("x")
+                out.append((float(h), float(w)))
+            else:
+                out.append((float(s), float(s)))
+        return out
 
 
 _FLAG_ALIASES = {

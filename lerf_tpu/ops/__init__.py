@@ -8,6 +8,7 @@ from .resample import (
     fixed_kernel_resize,
     fixed_kernel_warp,
     nearest_warp_mask,
+    resize,
     steering_gaussian_resize,
     steering_gaussian_warp,
 )
@@ -29,7 +30,8 @@ from .lut_pipeline import (
 __all__ = [
     "ResizeGeometry", "WarpGeometry", "resolve_scale_and_out_sz",
     "steering_gaussian_resize", "amplified_linear_resize",
-    "fixed_kernel_resize", "steering_gaussian_warp", "amplified_linear_warp",
+    "fixed_kernel_resize", "resize",
+    "steering_gaussian_warp", "amplified_linear_warp",
     "fixed_kernel_warp", "nearest_warp_mask", "simplex4d", "simplex4d_cells",
     "build_cell_table",
     "round_half_even_div", "lut_ensemble", "lut_stage1", "lut_stage2",

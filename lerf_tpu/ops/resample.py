@@ -114,28 +114,108 @@ def decode_linear_hyper(alpha, max_alpha: float = 1.0):
 # ---------------------------------------------------------------------------
 
 
+MAX_FOV_PERIOD = 32
+
+
+def _periodic_fov(fov: np.ndarray, out_sz: int, scale: float):
+    """Detect a rational-scale FOV pattern: period p with input stride q
+    (scale = p/q) such that ``fov[m·p+k, s] = m·q + e[k, s]``.
+
+    Returns (p, q, e [p,S]) or None.  Checked host-side on the actual index
+    arrays, so it is exact whenever the geometry happens to be periodic
+    (all integer and clean-fraction scales); anything else falls back to
+    the gather path.
+    """
+    n = fov.shape[0]
+    for p in range(1, min(MAX_FOV_PERIOD, n) + 1):
+        if out_sz % p or n <= p:
+            continue
+        q = int(fov[p, 0] - fov[0, 0])
+        if q <= 0:
+            continue
+        m = np.arange(out_sz)[:, None] // p
+        e = fov[:p]
+        if np.array_equal(fov, m * q + np.tile(e, (out_sz // p, 1))):
+            return p, q, e
+    return None
+
+
+def _slab_gather_rows(xp, e: np.ndarray, q: int, n_eff: int, axis: int):
+    """Gather-free periodic row/col selection, support-major block layout:
+    output axis = [s·out + (m·p + k)] — for each support offset s a
+    contiguous ``out``-row block, phases interleaved inside it.  Each
+    (phase k, support s) slab is the stride-``q`` slice starting at
+    ``e[k, s]``.
+
+    XLA gathers and strided window reads dominate the steerable-resize
+    runtime on TPU; static slices + per-block reshapes fuse for free
+    (the stride-q read touches only the small source, never the output
+    lattice).
+    """
+    p, S = e.shape
+    blocks = []
+    pos = axis if axis >= 0 else xp.ndim + axis
+    for s in range(S):
+        slabs = []
+        for k in range(p):
+            start = int(e[k, s])
+            idx = [slice(None)] * xp.ndim
+            idx[pos] = slice(start, start + n_eff * q, q)
+            slabs.append(xp[tuple(idx)])
+        # [.., n_eff, ..] × p → stack right after axis → merge (m-major,
+        # k-minor = output index m·p+k)
+        stacked = jnp.stack(slabs, axis=pos + 1)
+        shape = list(stacked.shape)
+        shape[pos:pos + 2] = [n_eff * p]
+        blocks.append(stacked.reshape(shape))
+    return jnp.concatenate(blocks, axis=pos)
+
+
 def _gather_resize(x: jnp.ndarray, geom: ResizeGeometry, mode: str):
-    """Separable neighbor gather -> [..., outH*S, outW*S]."""
+    """Separable neighbor gather -> [..., S·outH, S·outW] in support-major
+    block layout: element (s·outH+i, t·outW+j) is neighbor (s, t) of output
+    pixel (i, j).
+
+    Blocks (not interleaving) keep every downstream window read contiguous —
+    interleaved (i·S+s) layout forces stride-S lane relayouts that cost
+    ~300 ms/tensor at 1440p.  Integer upscales take the gather-free
+    periodic-slab path; arbitrary scales fall back to two axis gathers with
+    support-major index order.
+    """
     xp = pad2d(x, geom.pad_x, geom.pad_y, mode)
-    rows = jnp.take(xp, jnp.asarray(geom.fov_x.reshape(-1)), axis=-2)
-    return jnp.take(rows, jnp.asarray(geom.fov_y.reshape(-1)), axis=-1)
+    px = _periodic_fov(geom.fov_x, geom.out_sz[0], geom.scale[0])
+    if px is not None:
+        p, q, e = px
+        out = _slab_gather_rows(xp, e, q, geom.out_sz[0] // p, -2)
+    else:
+        out = jnp.take(xp, jnp.asarray(geom.fov_x.T.reshape(-1)), axis=-2)
+    py = _periodic_fov(geom.fov_y, geom.out_sz[1], geom.scale[1])
+    if py is not None:
+        p, q, e = py
+        return _slab_gather_rows(out, e, q, geom.out_sz[1] // p, -1)
+    return jnp.take(out, jnp.asarray(geom.fov_y.T.reshape(-1)), axis=-1)
 
 
 def _block_sums(weights, neighbors, S: int):
-    """Σ_{s,t} w[..., s::S, t::S]·n and Σ w over each S×S window.
+    """Σ_{s,t} w·n and Σ w over each support window, block layout.
 
-    TPU layout note: reshaping to [..., oh, S, ow, S] pads the trailing
-    S(=2) dims to the (8,128) tile — a 64× memory blowup that OOMs HBM on
-    large outputs.  Strided slices keep every operand at [..., oh, ow]
-    (verified: the reshape form needed 21 GB for a 1440×2560 output; this
-    form <200 MB).  Math is identical: Σ(w·n)/Σw over the window.
+    Inputs are [..., S·oh, S·ow] support-major blocks (``_gather_resize``);
+    every read is a contiguous [oh, ow] block slice.  TPU layout notes:
+    reshaping to [..., oh, S, ow, S] pads the trailing S(=2) dims to the
+    (8,128) tile — a 64× HBM blowup that OOMs at 1440p; interleaved
+    stride-S slices relayout across lanes at ~300 ms/tensor.  Block slices
+    cost neither.  Math is identical: Σ(w·n)/Σw over the window.
     """
+    oh = weights.shape[-2] // S
+    ow = weights.shape[-1] // S
     wn = None
     ws = None
     for s in range(S):
         for t in range(S):
-            w = weights[..., s::S, t::S]
-            n = neighbors[..., s::S, t::S]
+            sl = (..., slice(s * oh, (s + 1) * oh),
+                  slice(t * ow, (t + 1) * ow))
+            w = weights[sl]
+            n = neighbors[sl]
             wn = w * n if wn is None else wn + w * n
             ws = w if ws is None else ws + w
     return wn, ws
@@ -154,9 +234,10 @@ def _reduce_support(weights, neighbors, geom: ResizeGeometry):
 
 
 def _dis_broadcast(geom: ResizeGeometry, dtype):
-    """dis lattices broadcast to [outH*S, 1] and [outW*S]."""
-    dx = jnp.asarray(geom.dis_x.reshape(-1), dtype=dtype)[:, None]
-    dy = jnp.asarray(geom.dis_y.reshape(-1), dtype=dtype)[None, :]
+    """dis lattices in support-major block order, broadcast to
+    [S·outH, 1] and [S·outW]."""
+    dx = jnp.asarray(geom.dis_x.T.reshape(-1), dtype=dtype)[:, None]
+    dy = jnp.asarray(geom.dis_y.T.reshape(-1), dtype=dtype)[None, :]
     return dx, dy
 
 
@@ -193,8 +274,8 @@ def amplified_linear_resize(img, alpha, geom: ResizeGeometry, *,
     alpha = decode_linear_hyper(alpha, max_alpha)
     f_alpha = _gather_resize(alpha, geom, "edge")
     m64 = geom.min_scale if geom.antialias else 1.0
-    dx64 = (m64 * geom.dis_x.reshape(-1))[:, None]
-    dy64 = (m64 * geom.dis_y.reshape(-1))[None, :]
+    dx64 = (m64 * geom.dis_x.T.reshape(-1))[:, None]
+    dy64 = (m64 * geom.dis_y.T.reshape(-1))[None, :]
     masks_x = tuple(jnp.asarray(a) for a in _branch_masks(dx64))
     masks_y = tuple(jnp.asarray(a) for a in _branch_masks(dy64))
     dx = jnp.asarray(dx64, img.dtype)
@@ -216,8 +297,8 @@ def fixed_kernel_resize(img, geom: ResizeGeometry, kernel: str = "cubic", *,
     """
     kern1d = interp_kernels.NP_KERNELS_1D[kernel]
     m64 = geom.min_scale if geom.antialias else 1.0
-    wx = kern1d(m64 * geom.dis_x.reshape(-1))          # host float64
-    wy = kern1d(m64 * geom.dis_y.reshape(-1))
+    wx = kern1d(m64 * geom.dis_x.T.reshape(-1))        # host float64
+    wy = kern1d(m64 * geom.dis_y.T.reshape(-1))
     if geom.antialias:
         wx = m64 * wx
     weights = (jnp.asarray(wx, img.dtype)[:, None]
@@ -316,6 +397,27 @@ def fixed_kernel_warp(img, geom: WarpGeometry, kernel: str = "cubic", *,
     neighbors = _gather_warp(img, geom, pad_mode)
     return _reduce_support_warp(weights, neighbors,
                                 normalize=geom.support != 1)
+
+
+_KERNEL_SUPPORT = {"cubic": 4, "linear": 2, "box": 1, "lanczos2": 4,
+                   "lanczos3": 6}
+
+
+def resize(img, scale_factors=None, out_shape=None, *,
+           interp_method: str = "cubic", antialiasing: bool = True,
+           pad_mode: str = "constant"):
+    """ResizeRight-style convenience API (vendored ``resize_right.py:36-127``
+    in the reference; used there to prepare benchmark LR data).
+
+    img: [..., H, W]; scale/out_shape spatial-only.  Equivalent to building
+    a :class:`ResizeGeometry` with the kernel's support and anti-aliased
+    downscaling, then :func:`fixed_kernel_resize`.
+    """
+    support = _KERNEL_SUPPORT[interp_method]
+    geom = ResizeGeometry.create(
+        img.shape[-2:], scale_factors=scale_factors,
+        out_sz=out_shape, support=support, antialias=antialiasing)
+    return fixed_kernel_resize(img, geom, interp_method, pad_mode=pad_mode)
 
 
 def nearest_warp_mask(in_sz, geom: WarpGeometry, border: int = 4,

@@ -30,26 +30,24 @@ from .mesh import DATA_AXIS
 def _resize_local(xpad, rhop, sxp, syp, fov_x, dis_x, fov_y, dis_y,
                   support: int, aa_scale: float):
     """One shard's slab: gather its output rows from the replicated padded
-    source.  fov_x/dis_x: [local_outH·S]; fov_y/dis_y: [outW·S]."""
-    def gather(z):
-        rows = jnp.take(z, fov_x, axis=-2)
-        return jnp.take(rows, fov_y, axis=-1)
-
-    dx = dis_x[:, None]
-    dy = dis_y[None, :]
-    w = steering_gaussian_weight(gather(rhop), gather(sxp), gather(syp),
-                                 aa_scale * dx, aa_scale * dy)
-    if aa_scale != 1.0:
-        w = aa_scale * w
-    n = gather(xpad)
+    source, per support offset (every read contiguous — no stride-S lane
+    relayouts).  fov_x/dis_x: [S, local_outH]; fov_y/dis_y: [S, outW]."""
     wn = None
     ws = None
     for s in range(support):
+        rows = {k: jnp.take(z, fov_x[s], axis=-2)
+                for k, z in (("x", xpad), ("r", rhop), ("sx", sxp),
+                             ("sy", syp))}
+        dx = (aa_scale * dis_x[s])[:, None]
         for t in range(support):
-            wi = w[..., s::support, t::support]
-            ni = n[..., s::support, t::support]
-            wn = wi * ni if wn is None else wn + wi * ni
-            ws = wi if ws is None else ws + wi
+            g = {k: jnp.take(z, fov_y[t], axis=-1)
+                 for k, z in rows.items()}
+            dy = (aa_scale * dis_y[t])[None, :]
+            w = steering_gaussian_weight(g["r"], g["sx"], g["sy"], dx, dy)
+            if aa_scale != 1.0:
+                w = aa_scale * w
+            wn = w * g["x"] if wn is None else wn + w * g["x"]
+            ws = w if ws is None else ws + w
     return wn / ws
 
 
@@ -74,15 +72,16 @@ def steering_gaussian_resize_sharded(img, rho, sigma_x, sigma_y,
     syp = pad2d(sigma_y, geom.pad_x, geom.pad_y, "edge")
 
     aa = geom.min_scale if geom.antialias else 1.0
-    fov_x = jnp.asarray(geom.fov_x.reshape(-1))          # [oh·S]
-    dis_x = jnp.asarray((aa * geom.dis_x).reshape(-1), img.dtype)
-    fov_y = jnp.asarray(geom.fov_y.reshape(-1))          # [ow·S]
-    dis_y = jnp.asarray((aa * geom.dis_y).reshape(-1), img.dtype)
+    fov_x = jnp.asarray(geom.fov_x.T.copy())             # [S, oh]
+    dis_x = jnp.asarray(geom.dis_x.T.copy(), img.dtype)
+    fov_y = jnp.asarray(geom.fov_y.T.copy())             # [S, ow]
+    dis_y = jnp.asarray(geom.dis_y.T.copy(), img.dtype)
 
     fn = partial(_resize_local, support=S, aa_scale=float(aa))
     shardmapped = jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(None, axis), P(None, axis),
+                  P(), P()),
         out_specs=P(*([None] * (img.ndim - 2) + [axis, None])))
     out = shardmapped(xpad, rhop, sxp, syp, fov_x, dis_x, fov_y, dis_y)
     return out
