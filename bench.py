@@ -44,8 +44,8 @@ def load_luts():
               for m in "sct"}
         s2 = {f"{m}r{r}": rng.randint(-127, 128, (L4, 3)).astype(np.int32)
               for m in "sct" for r in (0, 1)}
-    s1 = {k: build_cell_table(v) for k, v in s1.items()}
-    s2 = {k: build_cell_table(v) for k, v in s2.items()}
+    s1 = {k: build_cell_table(np.asarray(v, np.int32)) for k, v in s1.items()}
+    s2 = {k: build_cell_table(np.asarray(v, np.int32)) for k, v in s2.items()}
     return s1, s2
 
 

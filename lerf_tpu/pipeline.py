@@ -213,7 +213,9 @@ class LutPredictor:
         self.norm = norm
         s1, s2 = bank.as_int32()
         if cell_tables:
-            # cell-major layout: one row gather per lookup (simplex.py)
+            # cell-major layout: one row gather per lookup (simplex.py);
+            # int32 rows measured faster than int8 (TPU gathers pay for
+            # sub-word handling more than for the extra bytes)
             from .ops.simplex import build_cell_table
             s1 = {k: build_cell_table(v, bank.interval)
                   for k, v in s1.items()}

@@ -172,6 +172,11 @@ def test_cell_table_simplex_matches_flat():
     got = np.asarray(simplex4d_cells(jnp.asarray(cells), a, b, c, d))
     np.testing.assert_array_equal(got, want)
 
+    # int8 cell tables widen exactly in-register
+    cells8 = build_cell_table(lut.astype(np.int8))
+    got8 = np.asarray(simplex4d_cells(jnp.asarray(cells8), a, b, c, d))
+    np.testing.assert_array_equal(got8, want)
+
 
 def test_cell_table_ensemble_offsets():
     """Stacked cell tables with offsets == per-table flat ensembles."""
