@@ -7,6 +7,7 @@ required at conversion time only.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import numpy as np
@@ -87,18 +88,28 @@ def imdn_rtc_from_torch(prefix: str, sd: Dict, num_modules: int = 5) -> Dict:
 def imdn_from_torch_checkpoint(path: str, model=None,
                                num_modules: int = 5) -> Dict:
     """Pickled reference IMDN2 module → flax variables dict."""
-    import torch
-    module = torch.load(path, map_location="cpu", weights_only=False)
-    sd = module.state_dict() if hasattr(module, "state_dict") else module
+    sd = _load_torch_pickle(path)
     return {"params": {
         "stage1": imdn_rtc_from_torch("stage1", sd, num_modules),
         "stage2": imdn_rtc_from_torch("stage2", sd, num_modules),
     }}
 
 
+def _load_torch_pickle(path: str):
+    """Unpickle a reference checkpoint.  The reference saves whole modules
+    (train_model.py:61), so the pickle references its own package modules
+    (``model``, ``common.network``); make them importable when the
+    read-only reference tree is present."""
+    import sys
+
+    import torch
+    for p in ("/root/reference", "/root/reference/resample"):
+        if os.path.isdir(p) and p not in sys.path:
+            sys.path.append(p)
+    module = torch.load(path, map_location="cpu", weights_only=False)
+    return module.state_dict() if hasattr(module, "state_dict") else module
+
+
 def load_reference_checkpoint(path: str, **kw) -> Dict:
     """Load a pickled reference module checkpoint and convert."""
-    import torch
-    module = torch.load(path, map_location="cpu", weights_only=False)
-    sd = module.state_dict() if hasattr(module, "state_dict") else module
-    return lerf_nets_from_torch_state_dict(sd, **kw)
+    return lerf_nets_from_torch_state_dict(_load_torch_pickle(path), **kw)

@@ -320,14 +320,24 @@ def fixed_kernel_resize(img, geom: ResizeGeometry, kernel: str = "cubic", *,
 
 def _gather_warp(x: jnp.ndarray, geom: WarpGeometry, mode: str):
     """Flat neighbor gather -> [..., S, S, outH, outW] (support leading —
-    see WarpGeometry.lin_idx layout note)."""
+    see WarpGeometry.lin_idx layout note).
+
+    The gather is fully flattened to 1-D: a batched ``take(..., axis=-1)``
+    materializes a [N, C] intermediate whose C(=3) minor dim pads to 128
+    lanes — a 42× HBM blowup that OOMs at 1440p outputs.  1-D gathers pad
+    to nothing; the per-lead-element offsets are identical across the four
+    gathered tensors, so XLA CSEs them.
+    """
     xp = pad2d(x, geom.pad_x, geom.pad_y, mode)
     hp, wp = xp.shape[-2], xp.shape[-1]
-    flat = xp.reshape(xp.shape[:-2] + (hp * wp,))
+    lead = xp.shape[:-2]
+    n_lead = int(np.prod(lead)) if lead else 1
     idx = jnp.asarray(geom.lin_idx.reshape(-1))
-    out = jnp.take(flat, idx, axis=-1)
-    return out.reshape(x.shape[:-2] + (geom.support, geom.support)
-                       + geom.out_sz)
+    if n_lead > 1:
+        offs = (jnp.arange(n_lead, dtype=idx.dtype) * (hp * wp))[:, None]
+        idx = (idx[None, :] + offs).reshape(-1)
+    out = jnp.take(xp.reshape(-1), idx, axis=0)
+    return out.reshape(lead + (geom.support, geom.support) + geom.out_sz)
 
 
 def _reduce_support_warp(weights, neighbors, normalize: bool = True):

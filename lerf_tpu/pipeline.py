@@ -284,6 +284,23 @@ class LutPredictor:
             return out_u8, np.asarray(feat), np.asarray(hyper)
         return out_u8
 
+    def upscale_batch(self, imgs_bhwc: np.ndarray, scale_h: float,
+                      scale_w: float) -> np.ndarray:
+        """Serving form: uint8 [B,H,W,C] → uint8 [B,outH,outW,C].
+
+        Every op is batch-polymorphic ([..., H, W] leading dims), so the
+        whole batch runs as one device program (one compiled executable per
+        (H, W, scale))."""
+        imgs = np.asarray(imgs_bhwc)
+        bchw = np.ascontiguousarray(imgs.transpose(0, 3, 1, 2)) \
+            .astype(np.int32)
+        run = self._resize_fn(bchw.shape[2:],
+                              (float(scale_h), float(scale_w)))
+        out, _, _ = run(jnp.asarray(bchw))
+        out = np.clip(np.round(np.asarray(out)), 0, self.norm) \
+            .astype(np.uint8)
+        return out.transpose(0, 2, 3, 1)
+
     # -- warp ---------------------------------------------------------------
 
     def _warp_fn(self, in_sz, matrix_key, geom: WarpGeometry,
