@@ -202,7 +202,7 @@ class LutPredictor:
                  modes=("s", "c", "t"), modes2=("s", "c", "t"),
                  supp_size: int = 2, max_sigma: float = 10.0,
                  stages: int = 2, norm: int = 255,
-                 cell_tables: bool = True):
+                 cell_tables: bool = True, mesh=None):
         self.bank = bank
         self.linear = linear
         self.modes = tuple(modes)
@@ -221,6 +221,11 @@ class LutPredictor:
                   for k, v in s1.items()}
             s2 = {k: build_cell_table(v, bank.interval)
                   for k, v in s2.items()}
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel import replicate
+            s1 = replicate(s1, mesh)
+            s2 = replicate(s2, mesh)
         self._s1 = {k: jnp.asarray(v) for k, v in s1.items()}
         self._s2 = {k: jnp.asarray(v) for k, v in s2.items()}
         self._resize_cache: Dict = {}
@@ -290,13 +295,18 @@ class LutPredictor:
 
         Every op is batch-polymorphic ([..., H, W] leading dims), so the
         whole batch runs as one device program (one compiled executable per
-        (H, W, scale))."""
+        (H, W, scale)).  With a mesh, the batch is sharded across chips
+        (LUT tables replicated) — pure data-parallel scale-out, zero
+        collectives in the forward pass."""
         imgs = np.asarray(imgs_bhwc)
-        bchw = np.ascontiguousarray(imgs.transpose(0, 3, 1, 2)) \
-            .astype(np.int32)
+        bchw = jnp.asarray(np.ascontiguousarray(imgs.transpose(0, 3, 1, 2))
+                           .astype(np.int32))
+        if self.mesh is not None:
+            from .parallel import shard_batch
+            bchw = shard_batch(bchw, self.mesh)
         run = self._resize_fn(bchw.shape[2:],
                               (float(scale_h), float(scale_w)))
-        out, _, _ = run(jnp.asarray(bchw))
+        out, _, _ = run(bchw)
         out = np.clip(np.round(np.asarray(out)), 0, self.norm) \
             .astype(np.uint8)
         return out.transpose(0, 2, 3, 1)

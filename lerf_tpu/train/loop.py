@@ -174,18 +174,22 @@ def validate(predictor, cfg: TrainConfig, logger, writer: ScalarWriter,
              step: int, datasets=("Set5",)):
     """Set5 SR (X2/3/4) + warp (isc/osc) validation, logged like the
     reference's valid_steps / valid_steps_warp scalars
-    (train_model.py:173-176,310-312)."""
+    (train_model.py:173-176,310-312).  Output images are dumped under
+    ``{expDir}/val/{step}`` like the reference's artifact saves."""
     scales = [(2, 2), (3, 3), (4, 4)]
+    val_root = os.path.join(cfg.exp_dir, "val", f"{step:06d}")
     for ds in datasets:
         if os.path.isdir(os.path.join(cfg.val_dir, ds, "HR")):
-            res = run_sr_benchmark(predictor, cfg.val_dir, ds, scales)
+            res = run_sr_benchmark(predictor, cfg.val_dir, ds, scales,
+                                   result_root=val_root, exp_name="sr")
             for (sh, sw), (p, s) in res.items():
                 logger.info(f"Iter {step} | {ds} X{sh} PSNR: {p:.2f} "
                             f"SSIM: {s:.4f}")
                 writer.add_scalar(f"PSNR_X{sh}/{ds}", p, step)
                 writer.add_scalar(f"SSIM_X{sh}/{ds}", s, step)
         if os.path.isdir(os.path.join(cfg.val_w_dir, ds, "HR")):
-            resw = run_warp_benchmark(predictor, cfg.val_w_dir, ds)
+            resw = run_warp_benchmark(predictor, cfg.val_w_dir, ds,
+                                      result_root=val_root, exp_name="warp")
             for sp, p in resw.items():
                 logger.info(f"Iter {step} | {ds} {sp} mPSNR: {p:.2f}")
                 writer.add_scalar(f"mPSNR_{sp}/{ds}", p, step)

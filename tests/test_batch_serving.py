@@ -1,0 +1,46 @@
+"""Batched + mesh-sharded serving inference."""
+import numpy as np
+import pytest
+
+import jax
+
+from lerf_tpu.lut.io import LUTBank
+from lerf_tpu.parallel import make_mesh
+from lerf_tpu.pipeline import LutPredictor
+
+
+def random_bank(seed=0):
+    rng = np.random.RandomState(seed)
+    L4 = 17 ** 4
+    return LUTBank(
+        stage1={m: rng.randint(-127, 128, (L4, 1)).astype(np.int8)
+                for m in "sct"},
+        stage2={f"{m}r{r}": rng.randint(-127, 128, (L4, 3)).astype(np.int8)
+                for m in "sct" for r in (0, 1)},
+        out_c=3)
+
+
+def test_batch_matches_single():
+    bank = random_bank()
+    pred = LutPredictor(bank)
+    rng = np.random.RandomState(1)
+    imgs = rng.randint(0, 256, (2, 10, 12, 3), dtype=np.uint8)
+    batch = pred.upscale_batch(imgs, 2, 2)
+    assert batch.shape == (2, 20, 24, 3)
+    for b in range(2):
+        single = pred.upscale(imgs[b], 2, 2)
+        np.testing.assert_array_equal(batch[b], single)
+
+
+def test_batch_sharded_over_mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    bank = random_bank(seed=2)
+    pred = LutPredictor(bank, mesh=mesh)
+    pred_ref = LutPredictor(bank)
+    rng = np.random.RandomState(3)
+    imgs = rng.randint(0, 256, (8, 8, 10, 3), dtype=np.uint8)
+    got = pred.upscale_batch(imgs, 3, 3)
+    want = pred_ref.upscale_batch(imgs, 3, 3)
+    np.testing.assert_array_equal(got, want)
