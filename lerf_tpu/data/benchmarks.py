@@ -10,7 +10,7 @@ Layouts (README.md:63-87 of the reference):
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 from PIL import Image

@@ -3,7 +3,7 @@ report format (eval_lut_sr.py / eval_lut_warp.py / eval_model.py)."""
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 

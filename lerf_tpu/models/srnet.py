@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.lut_pipeline import MAX_PAD, MODE_OFFSETS, _pad_all_sides, _sample4
+from ..ops.lut_pipeline import MAX_PAD, _pad_all_sides, _sample4
 
 
 def round_ste(x):

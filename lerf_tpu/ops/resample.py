@@ -21,10 +21,6 @@ indices.  A fused Pallas kernel for very large outputs lives in
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -7,8 +7,7 @@ precompute, eval_lut_sr.py:644-661).
 """
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

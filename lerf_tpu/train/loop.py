@@ -16,7 +16,6 @@ from functools import partial
 from typing import Any, Callable, Dict, Optional
 
 import jax
-import numpy as np
 
 from ..config import TrainConfig
 from ..data.div2k import DIV2K, Provider

@@ -25,7 +25,7 @@ import optax
 from ..models import srnet
 from ..ops import ResizeGeometry, amplified_linear_resize, \
     steering_gaussian_resize
-from ..parallel import DATA_AXIS, batch_sharding, replicated
+from ..parallel import batch_sharding, replicated
 
 
 @dataclasses.dataclass(frozen=True)
