@@ -256,7 +256,8 @@ def train(cfg: TrainConfig, adapter: Optional[ModelAdapter] = None) -> Dict:
         dT += time.time() - st
 
         st = time.time()
-        state, loss = step_fn(state, *batch)
+        state, metrics = step_fn(state, *batch)
+        loss = metrics["loss"]
         if i % cfg.display_step == 0:
             loss.block_until_ready()
         rT += time.time() - st
@@ -268,10 +269,12 @@ def train(cfg: TrainConfig, adapter: Optional[ModelAdapter] = None) -> Dict:
 
         if i % cfg.display_step == 0:
             lval = float(loss)
+            gn = float(metrics["grad_norm"])
             writer.add_scalar("loss_Pixel", lval, i)
+            writer.add_scalar("grad_norm", gn, i)
             logger.info(
                 f"{cfg.exp_dir} | Iter:{i:6d}, GPixel:{lval:.2e}, "
-                f"dT:{dT / cfg.display_step:.4f}, "
+                f"gNorm:{gn:.2e}, dT:{dT / cfg.display_step:.4f}, "
                 f"rT:{rT / cfg.display_step:.4f}")
             dT, rT = 0.0, 0.0
 

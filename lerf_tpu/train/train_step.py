@@ -163,8 +163,12 @@ def make_train_step(tx: optax.GradientTransformation,
         loss, grads = jax.value_and_grad(loss_fn)(state.params, im, lb)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        # grad global-norm: observability for the clamp-saturation trap
+        # (a dead run shows high loss + ~zero grad norm)
+        gnorm = optax.global_norm(grads)
         return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1), loss
+                          step=state.step + 1), \
+            {"loss": loss, "grad_norm": gnorm}
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -66,7 +66,7 @@ def test_imdn_train_step_runs():
     lb = jnp.asarray(rng.rand(2, 3, 16, 16).astype(np.float32))
     losses = []
     for _ in range(5):
-        state, loss = step(state, im, lb)
-        losses.append(float(loss))
+        state, metrics = step(state, im, lb)
+        losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]

@@ -71,10 +71,11 @@ def test_loss_decreases_single_device():
     im, lb = jnp.asarray(im), jnp.asarray(lb)
     first = None
     for i in range(30):
-        state, loss = step(state, im, lb)
+        state, metrics = step(state, im, lb)
         if first is None:
-            first = float(loss)
-    assert float(loss) < first
+            first = float(metrics["loss"])
+    assert float(metrics["loss"]) < first
+    assert float(metrics["grad_norm"]) > 0
     assert int(state.step) == 30
 
 
@@ -88,16 +89,16 @@ def test_spmd_step_on_mesh_matches_single_device():
 
     ref_state = TrainState.create(params, tx)
     ref_step = make_train_step(tx, small_geom(), HP, mesh=None, donate=False)
-    ref_state, ref_loss = ref_step(ref_state, jnp.asarray(im),
-                                   jnp.asarray(lb))
+    ref_state, ref_metrics = ref_step(ref_state, jnp.asarray(im),
+                                      jnp.asarray(lb))
 
     mesh = make_mesh(8)
     state = replicate(TrainState.create(params, tx), mesh)
     step = make_train_step(tx, small_geom(), HP, mesh=mesh, donate=False)
     bim, blb = shard_batch((im, lb), mesh)
-    state, loss = step(state, bim, blb)
+    state, metrics = step(state, bim, blb)
 
-    assert abs(float(loss) - float(ref_loss)) < 1e-6
+    assert abs(float(metrics["loss"]) - float(ref_metrics["loss"])) < 1e-6
     diff = jax.tree.reduce(
         lambda a, b: a + b,
         jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
