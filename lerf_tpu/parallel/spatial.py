@@ -91,3 +91,61 @@ def sharded_out_sharding(mesh, ndim: int, axis: str = DATA_AXIS):
     spec = [None] * ndim
     spec[-2] = axis
     return NamedSharding(mesh, P(*spec))
+
+
+def _warp_local(xpad, rhop, sxp, syp, lin_idx, dis_x, dis_y, support: int):
+    """One shard's slab of warped output rows.  lin_idx: [S,S,local_oh,ow]
+    flat indices into the replicated padded source; dis: [S,local_oh,ow]."""
+    lead = xpad.shape[:-2]
+    n_lead = 1
+    for d in lead:
+        n_lead *= d
+    hw = xpad.shape[-2] * xpad.shape[-1]
+
+    def gather(z):
+        idx = lin_idx.reshape(-1)
+        if n_lead > 1:
+            offs = (jnp.arange(n_lead, dtype=idx.dtype) * hw)[:, None]
+            idx = (idx[None, :] + offs).reshape(-1)
+        out = jnp.take(z.reshape(-1), idx, axis=0)
+        return out.reshape(lead + lin_idx.shape)
+
+    dx = dis_x[:, None]
+    dy = dis_y[None, :]
+    w = steering_gaussian_weight(gather(rhop), gather(sxp), gather(syp),
+                                 dx, dy)
+    acc = jnp.sum(w * gather(xpad), axis=(-4, -3))
+    return acc / jnp.sum(w, axis=(-4, -3))
+
+
+def steering_gaussian_warp_sharded(img, rho, sigma_x, sigma_y, geom, mesh, *,
+                                   max_sigma: float = 10.0,
+                                   axis: str = DATA_AXIS,
+                                   pad_mode: str = "constant"):
+    """Output-row-sharded homographic warp: the (small) source and hyper
+    maps are replicated; the per-pixel gather indices and distances are
+    sharded on the output-row axis.  outH must divide by the mesh size."""
+    from ..ops.resample import decode_gaussian_hyper as _dec, pad2d as _pad
+
+    n = mesh.devices.size
+    oh, ow = geom.out_sz
+    if oh % n:
+        raise ValueError(f"outH {oh} must divide mesh size {n}")
+
+    rho, sigma_x, sigma_y = _dec(rho, sigma_x, sigma_y, max_sigma)
+    xpad = _pad(img, geom.pad_x, geom.pad_y, pad_mode)
+    rhop = _pad(rho, geom.pad_x, geom.pad_y, "edge")
+    sxp = _pad(sigma_x, geom.pad_x, geom.pad_y, "edge")
+    syp = _pad(sigma_y, geom.pad_x, geom.pad_y, "edge")
+
+    lin = jnp.asarray(geom.lin_idx)                          # [S,S,oh,ow]
+    dx = jnp.asarray(geom.dis_x.transpose(2, 0, 1), img.dtype)  # [S,oh,ow]
+    dy = jnp.asarray(geom.dis_y.transpose(2, 0, 1), img.dtype)
+
+    fn = partial(_warp_local, support=geom.support)
+    shardmapped = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(None, None, axis, None),
+                  P(None, axis, None), P(None, axis, None)),
+        out_specs=P(*([None] * (img.ndim - 2) + [axis, None])))
+    return shardmapped(xpad, rhop, sxp, syp, lin, dx, dy)

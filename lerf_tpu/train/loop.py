@@ -245,9 +245,19 @@ def train(cfg: TrainConfig, adapter: Optional[ModelAdapter] = None) -> Dict:
     prof_start = cfg.start_iter + 10 if cfg.profile_steps > 0 else -1
     prof_stop = prof_start + cfg.profile_steps
 
+    # dead-run guard: the LeRF objective has a clamp-saturation trap (all
+    # predictions pinned at 0/255 → zero gradients, permanently stuck).
+    # Detected as high loss + ~zero grad norm early on; reinit with the
+    # next seed (disable with --auto_reseed 0).
+    reseed_left = cfg.auto_reseed if cfg.start_iter == 0 else 0
+    reseed_check = cfg.start_iter + max(2 * cfg.display_step, 50)
+    next_seed = cfg.seed + 1
+
     dT, rT = 0.0, 0.0
     loss = None
-    for i in range(cfg.start_iter + 1, cfg.total_iter + 1):
+    i = cfg.start_iter
+    while i < cfg.total_iter:
+        i += 1
         if i == prof_start:
             jax.profiler.start_trace(os.path.join(cfg.exp_dir, "profile"))
         st = time.time()
@@ -266,6 +276,21 @@ def train(cfg: TrainConfig, adapter: Optional[ModelAdapter] = None) -> Dict:
             loss.block_until_ready()
             jax.profiler.stop_trace()
             logger.info(f"profile trace written to {cfg.exp_dir}/profile")
+
+        if i == reseed_check and reseed_left > 0:
+            lval = float(loss)
+            gn = float(metrics["grad_norm"])
+            if lval > 0.15 and gn < 1e-3:
+                logger.warning(
+                    f"dead run at iter {i} (loss {lval:.3f}, grad_norm "
+                    f"{gn:.2e}): clamp-saturation trap — reinitializing "
+                    f"with seed {next_seed}")
+                params = adapter.init_params(jax.random.PRNGKey(next_seed))
+                state = replicate(TrainState.create(params, tx), mesh)
+                next_seed += 1
+                reseed_left -= 1
+                i = cfg.start_iter
+                continue
 
         if i % cfg.display_step == 0:
             lval = float(loss)
