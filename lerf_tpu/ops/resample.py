@@ -12,12 +12,15 @@ hyper-parameter maps share the image's spatial shape and live on *source*
 pixels (they are gathered per neighbor, like the reference —
 resize_right2d_numpy.py:172-184).
 
-TPU notes: the resize gather is expressed as two axis-takes (separable FOV),
-which XLA lowers to cheap dynamic-slice sequences; weight computation,
-normalization and the support² reduction all fuse into one elementwise
-kernel.  The warp gather is one flat take with host-precomputed linear
-indices.  A fused Pallas kernel for very large outputs lives in
-``lerf_tpu.ops.pallas``.
+TPU notes: neighbor lattices use support-major *block* layout so every
+window read is a contiguous [outH, outW] slice (interleaved layouts pad S=2
+dims to (8,128) tiles or force stride-S lane relayouts — measured 64× HBM
+blowups / ~300 ms/tensor at 1440p).  For periodic geometries (any rational
+scale p/q, detected exactly on the host FOV arrays) the gather disappears
+entirely into p·S static strided slices of the small source.  The warp
+gather is one fully-flattened 1-D take with host-precomputed linear
+indices.  A fused Pallas kernel lives in ``lerf_tpu.ops.pallas``; row- and
+batch-sharded multi-chip variants in ``lerf_tpu.parallel``.
 """
 from __future__ import annotations
 
