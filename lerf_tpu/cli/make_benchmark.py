@@ -22,9 +22,27 @@ from ..ops import resize
 from ..ops.resample import _KERNEL_SUPPORT as KERNEL_SUPPORT
 
 
+def modcrop_rational(hr: np.ndarray, scale_h: float, scale_w: float):
+    """Crop HR so LR·scale round-trips to an integer-aligned grid.
+
+    Without this, fractional scales produce ceil-sized LR whose coordinate
+    frame is sub-pixel shifted vs the HR — costs several dB at evaluation
+    (the reference's benchmark data is aligned the same way).
+    """
+    from fractions import Fraction
+
+    out = []
+    for dim, s in ((hr.shape[0], scale_h), (hr.shape[1], scale_w)):
+        f = Fraction(s).limit_denominator(1000)
+        p = f.numerator
+        out.append((dim // p) * p)
+    return hr[:out[0], :out[1]]
+
+
 def downscale(hr: np.ndarray, scale_h: float, scale_w: float,
               kernel: str = "cubic") -> np.ndarray:
     import jax.numpy as jnp
+    hr = modcrop_rational(hr, scale_h, scale_w)
     chw = hr.transpose(2, 0, 1)
     out = np.asarray(resize(jnp.asarray(chw),
                             scale_factors=[1.0 / scale_h, 1.0 / scale_w],
