@@ -84,3 +84,22 @@ def test_debug_shrinkage():
     cfg = TrainConfig(debug=True)
     cfg.apply_debug()
     assert cfg.total_iter == 200 and cfg.batch_size == 4
+
+
+def test_grayscale_benchmark_promotion(tmp_path):
+    """Grayscale benchmark images are promoted to 3 channels end to end
+    (eval_lut_sr.py:514-538 convention; Set14 contains grayscale pngs)."""
+    from lerf_tpu.data.benchmarks import SRBenchmark
+
+    os.makedirs(tmp_path / "Gray" / "HR")
+    os.makedirs(tmp_path / "Gray" / "LR_bicubic" / "rrLR_X2.00_2.00")
+    rng = np.random.RandomState(0)
+    hr = rng.randint(0, 256, (16, 16), dtype=np.uint8)     # single channel
+    Image.fromarray(hr, mode="L").save(tmp_path / "Gray" / "HR" / "a.png")
+    Image.fromarray(hr[::2, ::2], mode="L").save(
+        tmp_path / "Gray" / "LR_bicubic" / "rrLR_X2.00_2.00" / "a.png")
+
+    bench = SRBenchmark(str(tmp_path), "Gray")
+    lr, hr3, name = bench.pair(0, 2, 2)
+    assert lr.shape == (8, 8, 3) and hr3.shape == (16, 16, 3)
+    assert np.array_equal(hr3[:, :, 0], hr3[:, :, 1])
