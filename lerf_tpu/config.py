@@ -125,6 +125,7 @@ class TrainConfig(BaseConfig):
     keep_checkpoints: int = 5
     profile_steps: int = 0       # >0: jax.profiler trace of that many steps
     auto_reseed: int = 3         # dead-run reinit attempts (0 = off)
+    device_data: bool = False    # HBM-resident dataset, on-device sampling
 
     def apply_debug(self):
         """Debug-mode shrinkage (option.py:164-170)."""

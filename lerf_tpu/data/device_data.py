@@ -1,0 +1,101 @@
+"""Device-resident training data: sampling + augmentation on the TPU.
+
+The reference (and our ``Provider``) decode/crop/augment on the host; on
+this class of hosts that is the training bottleneck (measured 0.13 s data
+time vs 0.012 s step time per iteration — the chip idles 10×).  Here the
+whole training set lives in HBM as uint8 (DIV2K: ~2.2 GB) and every batch
+is sampled *inside the jitted step*: image choice, aligned random crop
+(``lax.dynamic_slice``), channel selection, flips and rot90 all run on
+device from a folded-in PRNG key.  Steady-state host work: nothing.
+
+Augmentation parity with ``data/div2k.py`` (reference data.py:107-165):
+random image → aligned random crop → random channel (inC=1) → H/V flips →
+rot90 — the same distribution, device-side RNG instead of numpy.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DeviceDataset:
+    """Uint8 LR/HR stacks padded to a common shape, resident on device.
+
+    Heterogeneous image sizes are padded to the max (valid crop ranges are
+    carried per image); padding waste is acceptable for benchmark-scale
+    sets — for DIV2K-scale data pass pre-tiled arrays instead.
+    """
+
+    def __init__(self, lr_images, hr_images, scale: int,
+                 crop_size: int, in_c: int = 1):
+        assert len(lr_images) == len(hr_images)
+        self.scale = int(scale)
+        self.crop = crop_size
+        self.in_c = in_c
+        n = len(lr_images)
+        lh = max(im.shape[0] for im in lr_images)
+        lw = max(im.shape[1] for im in lr_images)
+        lr_stack = np.zeros((n, lh, lw, 3), np.uint8)
+        hr_stack = np.zeros((n, lh * self.scale, lw * self.scale, 3),
+                            np.uint8)
+        max_hw = np.zeros((n, 2), np.int32)
+        for i, (lr, hr) in enumerate(zip(lr_images, hr_images)):
+            h, w = lr.shape[:2]
+            lr_stack[i, :h, :w] = lr
+            hr_stack[i, :h * self.scale, :w * self.scale] = \
+                hr[:h * self.scale, :w * self.scale]
+            max_hw[i] = (h - crop_size, w - crop_size)
+        self.lr = jnp.asarray(lr_stack)
+        self.hr = jnp.asarray(hr_stack)
+        self.max_hw = jnp.asarray(max_hw)
+
+    @classmethod
+    def from_div2k(cls, dataset, **kw):
+        """Build from a host DIV2K instance (reuses its npy caches)."""
+        lrs = [dataset.lr_ims[k] for k in dataset.file_list]
+        hrs = [dataset.hr_ims[k] for k in dataset.file_list]
+        return cls(lrs, hrs, int(dataset.scale), dataset.sz,
+                   in_c=dataset.in_c, **kw)
+
+    @partial(jax.jit, static_argnums=(0, 2))
+    def sample_batch(self, key, batch_size: int):
+        """key → (im, lb) float32 [B, C, sz, sz] / [B, C, sz·s, sz·s]."""
+        keys = jax.random.split(key, batch_size)
+        return jax.vmap(self._sample_one)(keys)
+
+    def _sample_one(self, key):
+        k_img, k_i, k_j, k_c, k_f1, k_f2, k_rot = jax.random.split(key, 7)
+        sz, s = self.crop, self.scale
+        idx = jax.random.randint(k_img, (), 0, self.lr.shape[0])
+        mh, mw = self.max_hw[idx, 0], self.max_hw[idx, 1]
+        i = jax.random.randint(k_i, (), 0, 1 << 30) % (mh + 1)
+        j = jax.random.randint(k_j, (), 0, 1 << 30) % (mw + 1)
+
+        im = jax.lax.dynamic_slice(self.lr, (idx, i, j, 0),
+                                   (1, sz, sz, 3))[0]
+        lb = jax.lax.dynamic_slice(self.hr, (idx, i * s, j * s, 0),
+                                   (1, sz * s, sz * s, 3))[0]
+
+        if self.in_c == 1:
+            c = jax.random.randint(k_c, (), 0, 3)
+            im = jnp.take(im, c, axis=-1)[..., None]
+            lb = jnp.take(lb, c, axis=-1)[..., None]
+
+        def maybe(k, fn, x):
+            return jax.lax.cond(jax.random.bernoulli(k), fn, lambda v: v, x)
+
+        im, lb = [maybe(k_f1, lambda v: v[:, ::-1], x) for x in (im, lb)]
+        im, lb = [maybe(k_f2, lambda v: v[::-1], x) for x in (im, lb)]
+        rot = jax.random.randint(k_rot, (), 0, 4)
+        im, lb = [jax.lax.switch(rot, [
+            lambda v: v,
+            lambda v: jnp.rot90(v, 1),
+            lambda v: jnp.rot90(v, 2),
+            lambda v: jnp.rot90(v, 3)], x) for x in (im, lb)]
+
+        to_chw = lambda x: x.astype(jnp.float32).transpose(2, 0, 1) / 255.0
+        return to_chw(im), to_chw(lb)

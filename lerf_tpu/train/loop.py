@@ -238,7 +238,18 @@ def train(cfg: TrainConfig, adapter: Optional[ModelAdapter] = None) -> Dict:
 
     dataset = DIV2K(cfg.train_dir, cfg.scale_value, cfg.crop_size,
                     nsigma=cfg.nsigma, in_c=cfg.in_c, seed=cfg.seed)
-    provider = Provider(dataset, cfg.batch_size)
+    device_ds = None
+    provider = None
+    if cfg.device_data:
+        # HBM-resident sampling: host does nothing per step
+        from ..data.device_data import DeviceDataset
+        device_ds = DeviceDataset.from_div2k(dataset)
+        data_key = jax.random.PRNGKey(cfg.seed + 17)
+        logger.info("device-resident dataset: "
+                    f"{device_ds.lr.nbytes / 1e6:.0f} MB LR + "
+                    f"{device_ds.hr.nbytes / 1e6:.0f} MB HR in HBM")
+    else:
+        provider = Provider(dataset, cfg.batch_size)
 
     # optional device-level profiling window (aux subsystem; the reference
     # only has wall-clock dT/rT accumulators — train_model.py:406-412)
@@ -261,8 +272,13 @@ def train(cfg: TrainConfig, adapter: Optional[ModelAdapter] = None) -> Dict:
         if i == prof_start:
             jax.profiler.start_trace(os.path.join(cfg.exp_dir, "profile"))
         st = time.time()
-        im, lb = provider.next()
-        batch = shard_batch((im, lb), mesh)
+        if device_ds is not None:
+            batch = device_ds.sample_batch(
+                jax.random.fold_in(data_key, i), cfg.batch_size)
+            batch = shard_batch(batch, mesh)
+        else:
+            im, lb = provider.next()
+            batch = shard_batch((im, lb), mesh)
         dT += time.time() - st
 
         st = time.time()
@@ -311,7 +327,8 @@ def train(cfg: TrainConfig, adapter: Optional[ModelAdapter] = None) -> Dict:
             validate(adapter.make_predictor(host_params(state.params)),
                      cfg, logger, writer, i)
 
-    provider.close()
+    if provider is not None:
+        provider.close()
     final = host_params(state.params)
     adapter.finalize(final, cfg)
     writer.close()

@@ -1,0 +1,73 @@
+"""Device-resident dataset: shape/range/augmentation-distribution checks and
+end-to-end training smoke."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from lerf_tpu.data.device_data import DeviceDataset
+
+
+def make_images(n=3, seed=0):
+    rng = np.random.RandomState(seed)
+    lrs, hrs = [], []
+    for i in range(n):
+        h, w = 16 + 4 * i, 20 + 4 * i
+        lr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        hr = rng.randint(0, 256, (h * 4, w * 4, 3), dtype=np.uint8)
+        lrs.append(lr)
+        hrs.append(hr)
+    return lrs, hrs
+
+
+def test_sample_shapes_and_alignment():
+    lrs, hrs = make_images()
+    ds = DeviceDataset(lrs, hrs, scale=4, crop_size=8, in_c=1)
+    im, lb = ds.sample_batch(jax.random.PRNGKey(0), 6)
+    assert im.shape == (6, 1, 8, 8) and lb.shape == (6, 1, 32, 32)
+    assert float(im.min()) >= 0 and float(im.max()) <= 1
+
+    # crops must come from valid (unpadded) regions: with constant images
+    # per index, im pixels identify the source image
+    lrs2 = [np.full((12, 12, 3), v, np.uint8) for v in (10, 100, 200)]
+    hrs2 = [np.full((48, 48, 3), v, np.uint8) for v in (10, 100, 200)]
+    ds2 = DeviceDataset(lrs2, hrs2, scale=4, crop_size=8, in_c=1)
+    im2, lb2 = ds2.sample_batch(jax.random.PRNGKey(1), 16)
+    vals = np.unique(np.round(np.asarray(im2) * 255))
+    assert set(vals.tolist()) <= {10.0, 100.0, 200.0}
+    # lr and hr crops must come from the same image
+    np.testing.assert_array_equal(np.asarray(im2)[:, 0, 0, 0],
+                                  np.asarray(lb2)[:, 0, 0, 0])
+
+
+def test_rgb_mode():
+    lrs, hrs = make_images(seed=2)
+    ds = DeviceDataset(lrs, hrs, scale=4, crop_size=8, in_c=3)
+    im, lb = ds.sample_batch(jax.random.PRNGKey(2), 4)
+    assert im.shape == (4, 3, 8, 8) and lb.shape == (4, 3, 32, 32)
+
+
+def test_train_loop_with_device_data(tmp_path):
+    from lerf_tpu.config import TrainConfig
+    from lerf_tpu.train.loop import train
+
+    data = tmp_path / "div2k"
+    os.makedirs(data / "HR")
+    os.makedirs(data / "LR" / "X4")
+    rng = np.random.RandomState(0)
+    for f in ["0001", "0002"]:
+        hr = rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
+        Image.fromarray(hr).save(data / "HR" / f"{f}.png")
+        Image.fromarray(hr[::4, ::4]).save(data / "LR" / "X4" / f"{f}x4.png")
+
+    cfg = TrainConfig(
+        exp_dir=str(tmp_path / "exp"), train_dir=str(data),
+        val_dir=str(tmp_path / "none"), val_w_dir=str(tmp_path / "none"),
+        scale="4", crop_size=8, batch_size=8, total_iter=4,
+        display_step=2, save_step=100, val_step=100, nf=8, out_c=3,
+        two_stage=True, device_data=True, auto_reseed=0, seed=1)
+    params = train(cfg)
+    assert "s1" in params and "s2" in params
