@@ -20,6 +20,7 @@ cost.  All arithmetic is int32 and bit-exact vs the reference.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -182,20 +183,41 @@ def simplex4d_cells(cells: jnp.ndarray, a, b, c, d, interval: int = 4,
     cum1 = m0 + m1
     cum2 = cum1 + m2
 
-    corners = jnp.take(cells, cell.reshape(-1), axis=0).reshape(
-        cell.shape + cells.shape[1:])                 # [..., 16, oC]
-
     w0, w1, w2, w3, w4 = (q - v0, v0 - v1, v1 - v2, v2 - v3, v3)
-    bits = jnp.arange(16, dtype=jnp.int32)
-    sh = (1,) * cell.ndim + (16,)
-    bits = bits.reshape(sh)
+    bits = jnp.arange(16, dtype=jnp.int32)[None, :]
 
-    def sel(w, mask):
-        return w[..., None] * (mask[..., None] == bits)
+    def blend(cell_f, ws, masks):
+        """Gather one flat segment's 16-corner rows and blend → [n, oC]."""
+        corners = jnp.take(cells, cell_f, axis=0)     # [n, 16, oC]
+        w16 = sum(w[:, None] * (m[:, None] == bits)
+                  for w, m in zip(ws, masks))
+        return jnp.sum(w16[..., None] * corners, axis=-2)
 
-    w16 = (sel(w0, jnp.zeros_like(m0)) + sel(w1, m0) + sel(w2, cum1)
-           + sel(w3, cum2) + sel(w4, jnp.full_like(m0, 15)))
-    return jnp.sum(w16[..., None] * corners, axis=-2)
+    flat = [x.reshape(-1) for x in
+            (cell, w0, w1, w2, w3, w4,
+             jnp.zeros_like(m0), m0, cum1, cum2, jnp.full_like(m0, 15))]
+    n = flat[0].shape[0]
+
+    # The [n, 16(, oC)] gather output and weight lattice pad 16 lanes up to
+    # 128 — an 8× HBM expansion that OOMs at 4K outputs (15.8 GB for a
+    # 2880×5120 hyper stage).  Chunk the gather+blend with lax.map so only
+    # one segment's lattice is live at a time; everything before/after is
+    # [n]-flat.
+    CHUNK = 1 << 20
+    if n <= CHUNK:
+        out = blend(flat[0], flat[1:6], flat[6:])
+    else:
+        n_chunks = -(-n // CHUNK)
+        pad = n_chunks * CHUNK - n
+        parts = [jnp.pad(x, (0, pad)).reshape(n_chunks, CHUNK)
+                 for x in flat]
+
+        def body(seg):
+            return blend(seg[0], seg[1:6], seg[6:])
+
+        out = jax.lax.map(body, jnp.stack(parts, axis=1))
+        out = out.reshape(n_chunks * CHUNK, -1)[:n]
+    return out.reshape(cell.shape + (cells.shape[-1],))
 
 
 def round_half_even_div(num, den: int):

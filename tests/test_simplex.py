@@ -195,3 +195,21 @@ def test_cell_table_ensemble_offsets():
     want = np.asarray(lut_ensemble(img, flat, ("s", "c", "t")))
     got = np.asarray(lut_ensemble(img, cellv, ("s", "c", "t")))
     np.testing.assert_array_equal(got, want)
+
+
+def test_cell_table_chunked_path():
+    """N above the chunking threshold (2^20) must be bit-equal to flat."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lerf_tpu.ops.simplex import build_cell_table, simplex4d, \
+        simplex4d_cells
+
+    rng = np.random.RandomState(5)
+    lut = rng.randint(-127, 128, (17 ** 4, 1)).astype(np.int32)
+    cells = build_cell_table(lut)
+    n = (1 << 20) + 12345
+    vals = rng.randint(0, 256, (4, n)).astype(np.int32)
+    a, b, c, d = (jnp.asarray(v) for v in vals)
+    want = np.asarray(simplex4d(jnp.asarray(lut), a, b, c, d))
+    got = np.asarray(simplex4d_cells(jnp.asarray(cells), a, b, c, d))
+    np.testing.assert_array_equal(got, want)
