@@ -23,6 +23,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# segment size for the chunked cell-gather path (see simplex4d_cells)
+CELL_GATHER_CHUNK = 1 << 22
+
 
 def simplex4d(lut: jnp.ndarray, a, b, c, d, interval: int = 4,
               lut_offset=None):
@@ -202,21 +205,23 @@ def simplex4d_cells(cells: jnp.ndarray, a, b, c, d, interval: int = 4,
     # 128 — an 8× HBM expansion that OOMs at 4K outputs (15.8 GB for a
     # 2880×5120 hyper stage).  Chunk the gather+blend with lax.map so only
     # one segment's lattice is live at a time; everything before/after is
-    # [n]-flat.
-    CHUNK = 1 << 20
-    if n <= CHUNK:
+    # [n]-flat.  Below the threshold XLA fuses the blend into the gather
+    # without materializing the lattice (measured: chunking a 360×640
+    # pipeline costs ~10%), so only 4K-scale workloads chunk.
+    if n <= 2 * CELL_GATHER_CHUNK:
         out = blend(flat[0], flat[1:6], flat[6:])
     else:
-        n_chunks = -(-n // CHUNK)
-        pad = n_chunks * CHUNK - n
-        parts = [jnp.pad(x, (0, pad)).reshape(n_chunks, CHUNK)
+        c = CELL_GATHER_CHUNK
+        n_chunks = -(-n // c)
+        pad = n_chunks * c - n
+        parts = [jnp.pad(x, (0, pad)).reshape(n_chunks, c)
                  for x in flat]
 
         def body(seg):
             return blend(seg[0], seg[1:6], seg[6:])
 
         out = jax.lax.map(body, jnp.stack(parts, axis=1))
-        out = out.reshape(n_chunks * CHUNK, -1)[:n]
+        out = out.reshape(n_chunks * c, -1)[:n]
     return out.reshape(cell.shape + (cells.shape[-1],))
 
 

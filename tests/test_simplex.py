@@ -197,17 +197,19 @@ def test_cell_table_ensemble_offsets():
     np.testing.assert_array_equal(got, want)
 
 
-def test_cell_table_chunked_path():
-    """N above the chunking threshold (2^20) must be bit-equal to flat."""
+def test_cell_table_chunked_path(monkeypatch):
+    """N above the chunking threshold must be bit-equal to flat."""
     import numpy as np
     import jax.numpy as jnp
+    from lerf_tpu.ops import simplex as simplex_mod
     from lerf_tpu.ops.simplex import build_cell_table, simplex4d, \
         simplex4d_cells
 
+    monkeypatch.setattr(simplex_mod, "CELL_GATHER_CHUNK", 1 << 16)
     rng = np.random.RandomState(5)
     lut = rng.randint(-127, 128, (17 ** 4, 1)).astype(np.int32)
     cells = build_cell_table(lut)
-    n = (1 << 20) + 12345
+    n = (1 << 18) + 12345
     vals = rng.randint(0, 256, (4, n)).astype(np.int32)
     a, b, c, d = (jnp.asarray(v) for v in vals)
     want = np.asarray(simplex4d(jnp.asarray(lut), a, b, c, d))
