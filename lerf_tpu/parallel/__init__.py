@@ -1,4 +1,5 @@
-"""Parallelism layer: SPMD data-parallel training over a TPU device mesh."""
+"""Parallelism layer: SPMD data-parallel training and spatially-sharded
+resampling over a TPU device mesh."""
 
 from .mesh import (
     DATA_AXIS,
@@ -8,6 +9,12 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .spatial import (
+    steering_gaussian_resize_sharded,
+    steering_gaussian_warp_sharded,
+)
 
 __all__ = ["DATA_AXIS", "make_mesh", "batch_sharding", "replicated",
-           "shard_batch", "replicate"]
+           "shard_batch", "replicate",
+           "steering_gaussian_resize_sharded",
+           "steering_gaussian_warp_sharded"]
