@@ -6,12 +6,16 @@ steerable-Gaussian ×4 resize — on one chip, steady state.
 
 Baseline: the reference implementation's deploy path (numpy
 ``eval_lut_sr.py``) measured on this machine's host CPU — see BASELINE.md.
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``--all`` additionally machine-captures the full BASELINE.md table: the 4K
+scaling point, LUT warp throughput, and the micro-net (non-LUT) serving
+forms in f32 and bf16 — one JSON line each.
 """
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -25,77 +29,168 @@ LR_H, LR_W = 360, 640           # 1440×2560 (QHD) output at ×4
 SCALE = 4
 WARMUP = 3
 ITERS = 20
+MODES = ("s", "c", "t")
 
 
-def load_luts():
-    """Shipped LeRF-G LUTs when available; random otherwise (same shapes).
-    Returned in the cell-major fast-path layout."""
-    from lerf_tpu.ops.simplex import build_cell_table
-
+def load_flat_luts():
+    """Shipped LeRF-G LUTs when available; random otherwise (same shapes)."""
     ref = "/root/reference/models/lerf-g"
     try:
         from lerf_tpu.lut.io import load_lut_bank
         bank = load_lut_bank(ref, out_c=3)
-        s1, s2 = bank.as_int32()
+        return bank.as_int32()
     except Exception:
         rng = np.random.RandomState(0)
         L4 = 17 ** 4
         s1 = {m: rng.randint(-127, 128, (L4, 1)).astype(np.int32)
-              for m in "sct"}
+              for m in MODES}
         s2 = {f"{m}r{r}": rng.randint(-127, 128, (L4, 3)).astype(np.int32)
-              for m in "sct" for r in (0, 1)}
-    s1 = {k: build_cell_table(np.asarray(v, np.int32)) for k, v in s1.items()}
-    s2 = {k: build_cell_table(np.asarray(v, np.int32)) for k, v in s2.items()}
+              for m in MODES for r in (0, 1)}
+        return s1, s2
+
+
+def load_luts():
+    """Packed-int8 rotation-group tables (the deploy fast path)."""
+    from lerf_tpu.ops.lut_pipeline import build_packed_tables
+
+    s1, s2 = load_flat_luts()
+    s1 = build_packed_tables({k: v.astype(np.int8) for k, v in s1.items()},
+                             MODES)
+    s2 = build_packed_tables({k: v.astype(np.int8) for k, v in s2.items()},
+                             MODES, split_r=True)
     return s1, s2
 
 
-def main():
+def timeit(fn, *args, warmup=WARMUP, iters=ITERS):
+    import jax
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def emit(metric, mps, vs=None):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(mps, 3),
+        "unit": "output_megapixels_per_sec",
+        "vs_baseline": round(mps / vs, 2) if vs else None,
+    }), flush=True)
+
+
+def rand_img(h, w, dtype=np.int32, seed=0):
+    rng = np.random.RandomState(seed)
+    import jax.numpy as jnp
+    return jnp.asarray(rng.randint(0, 256, (3, h, w)).astype(dtype))
+
+
+def bench_lut_sr(s1, s2, h, w, scale=SCALE):
     import jax
     import jax.numpy as jnp
+    from lerf_tpu.ops import (
+        ResizeGeometry, lut_stage1, lut_stage2, split_gaussian_hyper,
+        steering_gaussian_resize,
+    )
+
+    geom = ResizeGeometry.create((h, w), scale_factors=[scale, scale],
+                                 support=2)
+
+    @jax.jit
+    def pipeline(img_i32):
+        feat = lut_stage1(img_i32, s1, MODES)
+        hyper = lut_stage2(feat, s2, MODES)
+        rho, sx, sy = split_gaussian_hyper(hyper)
+        return steering_gaussian_resize(
+            feat.astype(jnp.float32), rho, sx, sy, geom, max_sigma=10.0)
+
+    dt = timeit(pipeline, rand_img(h, w))
+    return (h * scale) * (w * scale) / 1e6 / dt
+
+
+def bench_lut_warp(s1, s2, h, w, scale=SCALE):
+    import jax
+    import jax.numpy as jnp
+    from lerf_tpu.ops import (
+        WarpGeometry, lut_stage2, lut_stage1, split_gaussian_hyper,
+        steering_gaussian_warp,
+    )
+
+    matrix = np.linalg.inv(np.diag([1.0 / scale, 1.0 / scale, 1.0]))
+    out_hw = (h * scale, w * scale)
+    geom = WarpGeometry.create((h, w), matrix, out_hw, support=2)
+
+    @jax.jit
+    def pipeline(img_i32):
+        feat = lut_stage1(img_i32, s1, MODES)
+        hyper = lut_stage2(feat, s2, MODES)
+        rho, sx, sy = split_gaussian_hyper(hyper)
+        return steering_gaussian_warp(
+            feat.astype(jnp.float32), rho, sx, sy, geom, max_sigma=10.0)
+
+    dt = timeit(pipeline, rand_img(h, w))
+    return out_hw[0] * out_hw[1] / 1e6 / dt
+
+
+def bench_net_sr(h, w, scale=SCALE, dtype="float32"):
+    """Micro-net (SRNetsSWF2) serving form — reference weights when present."""
+    import jax
+    import jax.numpy as jnp
+    from lerf_tpu.models import srnet
+    from lerf_tpu.ops import (ResizeGeometry, steering_gaussian_resize)
+
+    pth = "/root/reference/models/lerf-g/Model_050000.pth"
+    try:
+        from lerf_tpu.models.convert import load_reference_checkpoint
+        params = load_reference_checkpoint(pth)
+    except Exception:
+        params = srnet.init_lerf_nets(jax.random.PRNGKey(1), out_c=3)
+    dt_ = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    params = jax.tree.map(lambda x: jnp.asarray(x, dt_), params)
+    geom = ResizeGeometry.create((h, w), scale_factors=[scale, scale],
+                                 support=2)
+
+    @jax.jit
+    def pipeline(img):
+        x = img.astype(dt_) / 255.0
+        feat = srnet.predict_stage1(params, x)
+        hyper = srnet.predict_stage2(params, feat / 255.0)
+        out = steering_gaussian_resize(
+            feat.astype(jnp.float32), hyper[..., 0].astype(jnp.float32),
+            hyper[..., 1].astype(jnp.float32),
+            hyper[..., 2].astype(jnp.float32), geom, max_sigma=10.0)
+        return out
+
+    dt = timeit(pipeline, rand_img(h, w))
+    return (h * scale) * (w * scale) / 1e6 / dt
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    import jax
 
     # XLA:TPU gather compiles are minutes-long on this stack; the persistent
     # cache makes them one-time per machine.
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from lerf_tpu.ops import (
-        ResizeGeometry, lut_stage1, lut_stage2, split_gaussian_hyper,
-        steering_gaussian_resize,
-    )
-
     s1, s2 = load_luts()
-    s1 = {k: jnp.asarray(v) for k, v in s1.items()}
-    s2 = {k: jnp.asarray(v) for k, v in s2.items()}
-    geom = ResizeGeometry.create((LR_H, LR_W), scale_factors=[SCALE, SCALE],
-                                 support=2)
+    emit("lerf_g_lut_sr_x4_throughput", bench_lut_sr(s1, s2, LR_H, LR_W),
+         REF_NUMPY_MPS)
 
-    @jax.jit
-    def pipeline(img_i32):
-        feat = lut_stage1(img_i32, s1, ("s", "c", "t"))
-        hyper = lut_stage2(feat, s2, ("s", "c", "t"))
-        rho, sx, sy = split_gaussian_hyper(hyper)
-        return steering_gaussian_resize(
-            feat.astype(jnp.float32), rho, sx, sy, geom, max_sigma=10.0)
-
-    rng = np.random.RandomState(0)
-    img = jnp.asarray(rng.randint(0, 256, (3, LR_H, LR_W), dtype=np.int32))
-
-    for _ in range(WARMUP):
-        pipeline(img).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = pipeline(img)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / ITERS
-
-    out_mp = (LR_H * SCALE) * (LR_W * SCALE) / 1e6
-    mps = out_mp / dt
-    print(json.dumps({
-        "metric": "lerf_g_lut_sr_x4_throughput",
-        "value": round(mps, 3),
-        "unit": "output_megapixels_per_sec",
-        "vs_baseline": round(mps / REF_NUMPY_MPS, 2) if REF_NUMPY_MPS else None,
-    }))
+    if "--all" in argv:
+        emit("lerf_g_lut_sr_4k_throughput",
+             bench_lut_sr(s1, s2, 720, 1280))          # 2880×5120 output
+        emit("lerf_g_lut_warp_x4_throughput",
+             bench_lut_warp(s1, s2, LR_H, LR_W))
+        emit("lerf_g_net_sr_x4_f32_throughput",
+             bench_net_sr(LR_H, LR_W, dtype="float32"), REF_NUMPY_MPS)
+        emit("lerf_g_net_sr_x4_bf16_throughput",
+             bench_net_sr(LR_H, LR_W, dtype="bfloat16"), REF_NUMPY_MPS)
 
 
 if __name__ == "__main__":

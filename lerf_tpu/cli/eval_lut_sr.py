@@ -28,7 +28,8 @@ def main(argv=None, datasets=None, scales=None):
     out_c = 1 if cfg.linear else 3
     bank = load_lut_bank(cfg.exp_dir, lut_name=cfg.lut_name,
                          modes=tuple(cfg.modes), modes2=tuple(cfg.modes2),
-                         out_c=out_c, interval=cfg.interval)
+                         out_c=out_c, interval=cfg.interval,
+                         stages=cfg.stages)
     pred = LutPredictor(bank, linear=cfg.linear, modes=tuple(cfg.modes),
                         modes2=tuple(cfg.modes2), supp_size=cfg.supp_size,
                         max_sigma=cfg.max_sigma, stages=cfg.stages,
@@ -46,7 +47,7 @@ def main(argv=None, datasets=None, scales=None):
         all_results[ds] = run_sr_benchmark(
             pred, cfg.test_dir, ds, [tuple(s) for s in scales],
             result_root=cfg.result_root, exp_name=exp_name,
-            lut_name=cfg.lut_name, post=post)
+            lut_name=cfg.lut_name, post=post, nsigma=cfg.nsigma)
     table = format_sr_table(all_results, scales)
     print(table)
     return all_results

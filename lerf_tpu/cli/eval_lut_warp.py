@@ -29,7 +29,8 @@ def main(argv=None, datasets=None, scale_ps=None):
     out_c = 1 if cfg.linear else 3
     bank = load_lut_bank(cfg.exp_dir, lut_name=cfg.lut_name,
                          modes=tuple(cfg.modes), modes2=tuple(cfg.modes2),
-                         out_c=out_c, interval=cfg.interval)
+                         out_c=out_c, interval=cfg.interval,
+                         stages=cfg.stages)
     pred = LutPredictor(bank, linear=cfg.linear, modes=tuple(cfg.modes),
                         modes2=tuple(cfg.modes2), supp_size=cfg.supp_size,
                         max_sigma=cfg.max_sigma, stages=cfg.stages,

@@ -43,10 +43,13 @@ def main(argv=None):
         params, modes=tuple(cfg.modes), modes2=tuple(cfg.modes2),
         stages=cfg.stages, out_c=cfg.out_c, interval=cfg.interval)
     save_lut_bank(bank, cfg.exp_dir, lut_name="LUT")
-    for m, arr in bank.stage1.items():
-        print(f"LUT_s1_{m}r0.npy", arr.reshape(arr.shape[0], -1, 1, 1).shape)
+    for s, tables in enumerate(bank.inter + [bank.stage1], start=1):
+        for m, arr in tables.items():
+            print(f"LUT_s{s}_{m}r0.npy",
+                  arr.reshape(arr.shape[0], -1, 1, 1).shape)
     for k, arr in bank.stage2.items():
-        print(f"LUT_s2_{k}.npy", arr.reshape(arr.shape[0], -1, 1, 1).shape)
+        print(f"LUT_s{bank.stages}_{k}.npy",
+              arr.reshape(arr.shape[0], -1, 1, 1).shape)
     return bank
 
 

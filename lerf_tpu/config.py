@@ -20,7 +20,7 @@ class BaseConfig:
     name: str = "lerf"
     model: str = "SRNetsSWF2"
     scale: str = "4"
-    nsigma: int = -1
+    nsigma: float = -1.0         # Gaussian noise σ; float like option.py:18
     nf: int = 64
     modes: str = "sct"
     modes2: str = "sct"
@@ -195,7 +195,9 @@ def build_parser(cls) -> argparse.ArgumentParser:
         if f.name == "scale":
             names.append("-r")
         if f.type in ("bool", bool):
-            p.add_argument(*names, action="store_true",
+            # BooleanOptionalAction (adds --no-<flag>) so a default-True
+            # bool field stays controllable from the CLI
+            p.add_argument(*names, action=argparse.BooleanOptionalAction,
                            default=f.default)
         else:
             typ = {int: int, float: float, str: str}.get(

@@ -50,11 +50,21 @@ def load_matrix(path_no_ext: str) -> np.ndarray:
 
 
 class SRBenchmark:
-    """Arbitrary-scale SR benchmark: HR + rrLR_X{h}_{w} pairs."""
+    """Arbitrary-scale SR benchmark: HR + rrLR_X{h}_{w} pairs.
 
-    def __init__(self, root: str, dataset: str):
+    ``nsigma`` > 0 adds deterministic Gaussian noise of that σ (0-255
+    pixel scale) to the LR input for denoising-mode evaluation.  The
+    reference's ``MultiSRBenchmark`` *accepts* nsigma but never applies it
+    (resample/data.py:248 — the parameter is dead in its body); we implement
+    the evidently intended behavior, matching the train-time noise
+    convention (data.py:158-159: σ/255 in [0,1] units) with a per-image
+    seed so evaluation is reproducible.
+    """
+
+    def __init__(self, root: str, dataset: str, nsigma: float = -1.0):
         self.root = root
         self.dataset = dataset
+        self.nsigma = float(nsigma)
         self.hr_dir = os.path.join(root, dataset, "HR")
         self.files = list_pngs(self.hr_dir)
 
@@ -69,6 +79,11 @@ class SRBenchmark:
         lr = load_image(os.path.join(self.lr_dir(scale_h, scale_w),
                                      self.files[i]))
         hr = load_image(os.path.join(self.hr_dir, self.files[i]))
+        if self.nsigma > 0:
+            rng = np.random.RandomState(hash((self.dataset, i)) % (1 << 31))
+            lr = np.clip(np.round(lr + rng.normal(0.0, self.nsigma,
+                                                  lr.shape)), 0, 255) \
+                .astype(np.float32)
         return lr, hr, self.files[i]
 
 

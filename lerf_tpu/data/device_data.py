@@ -22,16 +22,49 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def tile_images(lr_images, hr_images, scale: int, tile: int):
+    """Pre-tile heterogeneous images into dense fixed-size crop pairs.
+
+    Covers each LR image with a grid of ``tile``×``tile`` crops (the last
+    row/column is edge-aligned, so edges are covered with slight overlap)
+    and the aligned ×scale HR crops.  All outputs share one shape, so
+    :class:`DeviceDataset` stacks them with ZERO padding waste — the fix
+    for max-shape padding blowup on DIV2K-scale sets whose image sizes
+    vary.  Sampling note: an image contributes ~area/tile² tiles, so image
+    choice becomes area-weighted (vs the reference's image-uniform
+    data.py:117); crop positions stay uniform over content.
+    """
+    lrs, hrs = [], []
+    for lr, hr in zip(lr_images, hr_images):
+        h, w = lr.shape[:2]
+        if h < tile or w < tile:
+            raise ValueError(f"image {h}x{w} smaller than tile {tile}")
+        starts_i = list(range(0, h - tile, tile)) + [h - tile]
+        starts_j = list(range(0, w - tile, tile)) + [w - tile]
+        for i in starts_i:
+            for j in starts_j:
+                lrs.append(lr[i:i + tile, j:j + tile])
+                hrs.append(hr[i * scale:(i + tile) * scale,
+                              j * scale:(j + tile) * scale])
+    return lrs, hrs
+
+
 class DeviceDataset:
     """Uint8 LR/HR stacks padded to a common shape, resident on device.
 
     Heterogeneous image sizes are padded to the max (valid crop ranges are
     carried per image); padding waste is acceptable for benchmark-scale
-    sets — for DIV2K-scale data pass pre-tiled arrays instead.
+    sets — for DIV2K-scale data pass ``tile=`` (see :func:`tile_images`)
+    so the stacks are dense.  ``hbm_bytes`` reports the actual footprint.
     """
 
     def __init__(self, lr_images, hr_images, scale: int,
-                 crop_size: int, in_c: int = 1):
+                 crop_size: int, in_c: int = 1, tile: int = 0):
+        if tile:
+            if tile < crop_size:
+                raise ValueError(f"tile {tile} < crop_size {crop_size}")
+            lr_images, hr_images = tile_images(lr_images, hr_images,
+                                               int(scale), tile)
         assert len(lr_images) == len(hr_images)
         self.scale = int(scale)
         self.crop = crop_size
@@ -52,6 +85,12 @@ class DeviceDataset:
         self.lr = jnp.asarray(lr_stack)
         self.hr = jnp.asarray(hr_stack)
         self.max_hw = jnp.asarray(max_hw)
+
+    @property
+    def hbm_bytes(self) -> int:
+        """Logical byte size of the image stacks (verified against device
+        memory_stats on the real chip in tools/check_device_data_hbm.py)."""
+        return int(self.lr.nbytes + self.hr.nbytes)
 
     @classmethod
     def from_div2k(cls, dataset, **kw):

@@ -32,14 +32,15 @@ def run_sr_benchmark(predictor, root: str, dataset: str,
                      scales: Sequence[Tuple[float, float]],
                      result_root: Optional[str] = None,
                      exp_name: str = "lerf", lut_name: str = "LUTft",
-                     post: int = 1) -> Dict:
+                     post: int = 1, nsigma: float = -1.0) -> Dict:
     """Evaluate arbitrary-scale SR on one dataset.
 
     ``post`` divides the resampling scale for pre-upsampled inputs
-    (LeRF-Net++ convention, eval_lut_sr.py:630-646).
+    (LeRF-Net++ convention, eval_lut_sr.py:630-646); ``nsigma`` > 0 enables
+    noisy (denoising-mode) evaluation.
     Returns {scale: (avg_psnr, avg_ssim)}.
     """
-    bench = SRBenchmark(root, dataset)
+    bench = SRBenchmark(root, dataset, nsigma=nsigma)
     results = {}
     for (sh, sw) in scales:
         vals: List[Tuple[float, float]] = []

@@ -57,23 +57,24 @@ def transfer_to_lut(params: Dict, *, modes: Sequence[str] = ("s", "c", "t"),
                     interval: int = 4) -> LUTBank:
     """Enumerate every head of a trained lerf-nets pytree into int8 LUTs.
 
-    Stage-2 heads keep separate r0/r1 tables; stage-1 heads r0 only
-    (transfer_to_lut.py:100-170).  Intermediate feature stages (stages > 2)
-    are enumerated per stage with keys ``s{n}_{mode}`` matching
-    :func:`lerf_tpu.models.srnet.init_lerf_nets`.
+    Hyper heads keep separate r0/r1 tables; feature heads r0 only
+    (transfer_to_lut.py:100-170).  With stages > 2, each feature stage gets
+    its own table set (heads keyed ``s{n}_{mode}`` by
+    :func:`lerf_tpu.models.srnet.init_lerf_nets`) — earlier stages land in
+    ``LUTBank.inter``, the last in ``LUTBank.stage1``, matching the
+    reference's per-stage bank files (eval_lut_sr.py:747-775).
     """
     x4 = jnp.asarray(lattice_inputs(interval))
-    stage1 = {}
+    feature = []
     for s in range(max(stages - 1, 1)):
-        for m in modes:
-            key = f"s{s + 1}_{m}"
-            out = np.asarray(_run_head(params["s1"][key], x4))
-            name = m if s == stages - 2 or stages == 1 else key
-            stage1[name] = quantize_head(out)
+        feature.append({
+            m: quantize_head(np.asarray(_run_head(params["s1"][f"s{s + 1}_{m}"],
+                                                  x4)))
+            for m in modes})
     stage2 = {}
     for m in modes2:
         for r in (0, 1):
             out = np.asarray(_run_head(params["s2"][f"{m}r{r}"], x4))
             stage2[f"{m}r{r}"] = quantize_head(out)
-    return LUTBank(stage1=stage1, stage2=stage2, out_c=out_c,
-                   interval=interval)
+    return LUTBank(stage1=feature[-1], stage2=stage2, out_c=out_c,
+                   interval=interval, inter=feature[:-1])

@@ -21,11 +21,14 @@ stage outputs are bit-identical to the reference numpy oracle.
 """
 from __future__ import annotations
 
-from typing import Dict, Sequence
+import dataclasses
+from typing import Dict, List, Sequence
 
 import jax.numpy as jnp
+import jax.tree_util
 
-from .simplex import round_half_even_div, simplex4d, simplex4d_cells
+from .simplex import (round_half_even_div, simplex4d, simplex4d_cells,
+                      simplex_weights16)
 
 # neighbor (row, col) offsets per sampling mode, in the rotated frame,
 # role order (a, b, c, d) — eval_lut_sr.py:31-81
@@ -50,7 +53,8 @@ def rotate_offset(off, r: int):
     source coords), sampling at +δ in the rotated frame reads source pixels
     at +L_r(δ) where L_r is φ_r's linear part: r=0 (i,j); r=1 (j,-i);
     r=2 (-i,-j); r=3 (-j,i).  Verified bit-exact against the reference's
-    rotate/pad/interp/unrotate in tests/test_lut_pipeline.py.
+    rotate/pad/interp/unrotate in tests/test_simplex.py
+    (test_rotated_offsets_match_reference_rotation_ensemble).
     """
     i, j = off
     if r % 4 == 0:
@@ -112,6 +116,174 @@ def stack_ensemble_inputs(img: jnp.ndarray, modes: Sequence[str],
     return flat_lut, lut_offset, a, b, c, d
 
 
+# ---------------------------------------------------------------------------
+# packed rotation-group tables (the fast deploy layout)
+# ---------------------------------------------------------------------------
+#
+# Rotation-ensemble members of one mode often sample the SAME spatial pixel
+# set, just with permuted (a,b,c,d) roles: all 4 rotations of the 2×2 modes
+# (s, d), and the rotation pairs {0,2} / {1,3} of the collinear modes (c, t).
+# Members sharing a pixel set share the lattice cell of that set — so their
+# 16-corner rows can be packed side by side and fetched with ONE row gather,
+# with each member's slot holding ITS table's values at ITS role-permuted
+# coordinates (baked in at build time).  On TPU the gathers are the whole
+# stage cost and HBM random reads pay per ~512-byte transaction, so fewer,
+# wider rows are a direct win: 12 row gathers/pixel → 5 (stage 1) / 6
+# (stage 2, r0/r1 tables keep {0,2}/{1,3} in-pair anyway).
+#
+# Rows are laid out [member, channel, corner-bits] with corner bits in
+# CANONICAL position space (bit 3-m for canonical sample m); the runtime
+# blend feeds role-permuted bit weights (simplex_weights16(bit_of=...)), so
+# every per-(member, channel) corner row is a contiguous 16-lane slice.
+
+
+def group_rotations(mode: str):
+    """Group the 4 rotations of ``mode`` by translated-pixel-set equality.
+
+    Returns a list of groups ``(rots, canon, deltas, perms)``: member
+    rotation ``rots[i]`` samples role k at ``p + deltas[i] + canon[perms[i][k]]``
+    for every output pixel p — verified against :func:`rotate_offset` for
+    all modes in tests/test_packed.py.
+    """
+    offs = MODE_OFFSETS[mode]
+    groups: List[dict] = []
+    for r in range(4):
+        o = [rotate_offset(off, r) for off in offs]
+        mi = min(p[0] for p in o)
+        mj = min(p[1] for p in o)
+        norm = [(p[0] - mi, p[1] - mj) for p in o]
+        for g in groups:
+            if set(norm) == set(g["canon"]):
+                g["rots"].append(r)
+                g["deltas"].append((mi, mj))
+                g["perms"].append(tuple(g["canon"].index(norm[k])
+                                        for k in range(4)))
+                break
+        else:
+            groups.append({"canon": tuple(norm), "rots": [r],
+                           "deltas": [(mi, mj)], "perms": [(0, 1, 2, 3)]})
+    return groups
+
+
+@dataclasses.dataclass
+class PackedTables:
+    """{mode: [group]} where each group dict holds the packed device table
+    ``[16⁴, G·oC·16]`` plus the static (rots, canon, deltas, perms, oc).
+
+    Registered as a pytree with ONLY the table arrays as leaves (the
+    geometry metadata is static jit structure), so banks pass through
+    ``jax.tree.map`` / ``device_put`` / sharding utilities unchanged.
+    """
+    groups: Dict[str, List[dict]]
+    interval: int = 4
+
+
+def _packed_flatten(pt: PackedTables):
+    leaves, meta = [], []
+    for mode in pt.groups:
+        for g in pt.groups[mode]:
+            leaves.append(g["table"])
+            meta.append((mode, tuple(sorted(
+                (k, v) for k, v in g.items() if k != "table"))))
+    return leaves, (tuple(meta), pt.interval)
+
+
+def _packed_unflatten(aux, leaves):
+    meta, interval = aux
+    groups: Dict[str, List[dict]] = {}
+    for (mode, static), table in zip(meta, leaves):
+        groups.setdefault(mode, []).append(dict(static, table=table))
+    return PackedTables(groups=groups, interval=interval)
+
+
+jax.tree_util.register_pytree_node(PackedTables, _packed_flatten,
+                                   _packed_unflatten)
+
+
+def build_packed_tables(luts: Dict[str, jnp.ndarray], modes: Sequence[str],
+                        *, split_r: bool = False, interval: int = 4,
+                        dtype=None) -> PackedTables:
+    """Host-side: flat [L⁴, oC] tables → packed rotation-group rows.
+
+    ``luts`` keyed like :func:`lut_ensemble`: by mode (``split_r=False``) or
+    ``f"{mode}r{0|1}"`` with the r0 table used at rotations 0/2 and r1 at
+    1/3 (eval_lut_sr.py:580-619).
+    """
+    import numpy as np
+
+    L = (1 << (8 - interval)) + 1
+    B = L - 1
+    out: Dict[str, List[dict]] = {}
+    for mode in modes:
+        out[mode] = []
+        for g in group_rotations(mode):
+            parts = []
+            for r, perm in zip(g["rots"], g["perms"]):
+                key = f"{mode}r{r % 2}" if split_r else mode
+                lut5 = np.asarray(luts[key]).reshape(L, L, L, L, -1)
+                oc = lut5.shape[-1]
+                dt = dtype or lut5.dtype
+                member = np.empty((B, B, B, B, oc, 16), dt)
+                # inv[m] = which role axis holds canonical coordinate m
+                inv = [perm.index(m) for m in range(4)]
+                for bits in range(16):
+                    raise_m = [(bits >> (3 - m)) & 1 for m in range(4)]
+                    sl = tuple(slice(raise_m[perm[k]], B + raise_m[perm[k]])
+                               for k in range(4))
+                    member[..., bits] = np.transpose(lut5[sl], inv + [4])
+                parts.append(member.reshape(B ** 4, oc * 16))
+            table = np.concatenate(parts, axis=1)
+            out[mode].append({"table": jnp.asarray(table), "oc": oc,
+                              "rots": tuple(g["rots"]),
+                              "canon": g["canon"],
+                              "deltas": tuple(g["deltas"]),
+                              "perms": tuple(g["perms"])})
+    return PackedTables(groups=out, interval=interval)
+
+
+def lut_ensemble_packed(img: jnp.ndarray, packed: PackedTables,
+                        modes: Sequence[str], *, interval: int = 4):
+    """Σ of q×simplex outputs over modes × 4 rotations, packed-table form.
+
+    Bit-identical to :func:`lut_ensemble` (tests/test_packed.py); one row
+    gather per rotation GROUP instead of per member.
+    """
+    q = 1 << interval
+    B = 1 << (8 - interval)
+    h, w = img.shape[-2], img.shape[-1]
+    xpad = _pad_all_sides(img)
+    out = None
+    for mode in modes:
+        for g in packed.groups[mode]:
+            deltas, perms, canon = g["deltas"], g["perms"], g["canon"]
+            oc = g["oc"]
+            u0 = min(d[0] for d in deltas)
+            v0 = min(d[1] for d in deltas)
+            ha = h + max(d[0] for d in deltas) - u0
+            wa = w + max(d[1] for d in deltas) - v0
+            # canonical sample planes over the anchor grid
+            planes = [xpad[..., MAX_PAD + u0 + ci:MAX_PAD + u0 + ci + ha,
+                           MAX_PAD + v0 + cj:MAX_PAD + v0 + cj + wa]
+                      for ci, cj in canon]
+            iv = [p // q for p in planes]
+            cell = ((iv[0] * B + iv[1]) * B + iv[2]) * B + iv[3]
+            rows = jnp.take(g["table"], cell, axis=0).astype(jnp.int32)
+            for gi, (delta, perm) in enumerate(zip(deltas, perms)):
+                su, sv = delta[0] - u0, delta[1] - v0
+                win = (Ellipsis, slice(su, su + h), slice(sv, sv + w))
+                fr = [planes[perm[k]][win] % q for k in range(4)]
+                bit_of = tuple(1 << (3 - perm[k]) for k in range(4))
+                w16 = simplex_weights16(*fr, q, bit_of=bit_of)
+                chans = []
+                for c_ in range(oc):
+                    lane0 = (gi * oc + c_) * 16
+                    c16 = rows[win + (slice(lane0, lane0 + 16),)]
+                    chans.append(jnp.sum(w16 * c16, axis=-1))
+                member = jnp.stack(chans, axis=-1)
+                out = member if out is None else out + member
+    return out
+
+
 def lut_ensemble(img: jnp.ndarray, luts: Dict[str, jnp.ndarray],
                  modes: Sequence[str], *, interval: int = 4,
                  split_r: bool = False):
@@ -127,9 +299,12 @@ def lut_ensemble(img: jnp.ndarray, luts: Dict[str, jnp.ndarray],
     All 4·len(modes) members are evaluated as ONE batched simplex
     interpolation over a stacked LUT (see ``simplex4d``'s ``lut_offset``).
     With flat [L⁴, oC] tables that is 5 XLA gathers for the entire
-    ensemble; with cell-major [16⁴, 16, oC] tables (``build_cell_table``,
-    the fast path) it is ONE contiguous row gather.
+    ensemble; with cell-major [16⁴, 16, oC] tables (``build_cell_table``)
+    it is ONE contiguous row gather per member; :class:`PackedTables`
+    (the fast path) shares one gather across the rotations of a group.
     """
+    if isinstance(luts, PackedTables):
+        return lut_ensemble_packed(img, luts, modes, interval=interval)
     flat_lut, lut_offset, a, b, c, d = stack_ensemble_inputs(
         img, modes, split_r, luts)
     if flat_lut.ndim == 3:          # cell-major tables

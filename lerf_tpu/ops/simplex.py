@@ -139,6 +139,51 @@ def build_cell_table(lut, interval: int = 4):
     return cells.reshape(B ** 4, 16, oc)
 
 
+def simplex_weights16(fa, fb, fc, fd, q: int, bit_of=(8, 4, 2, 1)):
+    """Per-corner blend weights of the 4D simplex, as a 16-wide lattice.
+
+    ``fa..fd``: int32 LSB fractions (0..q-1) in role order (a,b,c,d);
+    ``bit_of``: the corner-raise bit each role contributes — (8,4,2,1) for
+    the plain cell layout, a permutation of it for packed rotation-group
+    tables whose corner bits live in canonical-position space
+    (:func:`lerf_tpu.ops.lut_pipeline.build_packed_tables`).
+
+    Returns int32 ``fa.shape + (16,)`` with w16[..., m] the weight of the
+    corner with raise-bitmask m; ``sum(w16) == q`` and
+    ``Σ_m w16[m]·corner[m]`` equals the reference 5-corner blend exactly.
+    """
+    fab = (fa > fb).astype(jnp.int32)
+    fac = (fa > fc).astype(jnp.int32)
+    fad = (fa > fd).astype(jnp.int32)
+    fbc = (fb > fc).astype(jnp.int32)
+    fbd = (fb > fd).astype(jnp.int32)
+    fcd = (fc > fd).astype(jnp.int32)
+    sa = fab + fac + fad
+    sb = (1 - fab) + fbc + fbd
+    sc = (1 - fac) + (1 - fbc) + fcd
+    sd = (1 - fad) + (1 - fbd) + (1 - fcd)
+    ranks = (3 - sa, 3 - sb, 3 - sc, 3 - sd)
+    fracs = (fa, fb, fc, fd)
+
+    def at_rank(t):
+        v = sum(f * (r == t) for f, r in zip(fracs, ranks))
+        m = sum(bit * (r == t) for bit, r in zip(bit_of, ranks))
+        return v, m
+
+    v0, m0 = at_rank(0)
+    v1, m1 = at_rank(1)
+    v2, m2 = at_rank(2)
+    v3, m3 = at_rank(3)
+    cum1 = m0 + m1
+    cum2 = cum1 + m2
+
+    ws = (q - v0, v0 - v1, v1 - v2, v2 - v3, v3)
+    masks = (jnp.zeros_like(m0), m0, cum1, cum2, jnp.full_like(m0, 15))
+    bits = jnp.arange(16, dtype=jnp.int32)
+    return sum(w[..., None] * (m[..., None] == bits)
+               for w, m in zip(ws, masks))
+
+
 def simplex4d_cells(cells: jnp.ndarray, a, b, c, d, interval: int = 4,
                     cell_offset=None):
     """Cell-major 4D-simplex interpolation (same math as :func:`simplex4d`).

@@ -50,18 +50,29 @@ def _resize_local(xpad, rhop, sxp, syp, fov_x, dis_x, fov_y, dis_y,
     return wn / ws
 
 
+def _pad_rows(arr, axis: int, n: int):
+    """Edge-pad ``axis`` up to a multiple of n (duplicated geometry rows —
+    the extra output rows are computed redundantly and cropped after)."""
+    size = arr.shape[axis]
+    extra = (-size) % n
+    if extra == 0:
+        return arr, size
+    cfg = [(0, 0)] * arr.ndim
+    cfg[axis] = (0, extra)
+    return jnp.pad(arr, cfg, mode="edge"), size
+
+
 def steering_gaussian_resize_sharded(img, rho, sigma_x, sigma_y,
                                      geom: ResizeGeometry, mesh, *,
                                      max_sigma: float = 10.0,
                                      axis: str = DATA_AXIS,
                                      pad_mode: str = "constant"):
     """Row-sharded steerable resize: output [..., outH, outW] sharded on
-    outH across ``mesh``.  outH must divide by the mesh size."""
+    outH across ``mesh``.  Non-divisible outH is handled by duplicating the
+    last row's geometry up to a multiple of the mesh size and cropping."""
     n = mesh.devices.size
     oh, ow = geom.out_sz
     S = geom.support
-    if oh % n:
-        raise ValueError(f"outH {oh} must divide mesh size {n}")
 
     rho, sigma_x, sigma_y = decode_gaussian_hyper(rho, sigma_x, sigma_y,
                                                   max_sigma)
@@ -71,8 +82,8 @@ def steering_gaussian_resize_sharded(img, rho, sigma_x, sigma_y,
     syp = pad2d(sigma_y, geom.pad_x, geom.pad_y, "edge")
 
     aa = geom.min_scale if geom.antialias else 1.0
-    fov_x = jnp.asarray(geom.fov_x.T.copy())             # [S, oh]
-    dis_x = jnp.asarray(geom.dis_x.T.copy(), img.dtype)
+    fov_x, _ = _pad_rows(jnp.asarray(geom.fov_x.T.copy()), 1, n)  # [S, oh']
+    dis_x, _ = _pad_rows(jnp.asarray(geom.dis_x.T.copy(), img.dtype), 1, n)
     fov_y = jnp.asarray(geom.fov_y.T.copy())             # [S, ow]
     dis_y = jnp.asarray(geom.dis_y.T.copy(), img.dtype)
 
@@ -83,7 +94,7 @@ def steering_gaussian_resize_sharded(img, rho, sigma_x, sigma_y,
                   P(), P()),
         out_specs=P(*([None] * (img.ndim - 2) + [axis, None])))
     out = shardmapped(xpad, rhop, sxp, syp, fov_x, dis_x, fov_y, dis_y)
-    return out
+    return out[..., :oh, :]
 
 
 def sharded_out_sharding(mesh, ndim: int, axis: str = DATA_AXIS):
@@ -124,13 +135,12 @@ def steering_gaussian_warp_sharded(img, rho, sigma_x, sigma_y, geom, mesh, *,
                                    pad_mode: str = "constant"):
     """Output-row-sharded homographic warp: the (small) source and hyper
     maps are replicated; the per-pixel gather indices and distances are
-    sharded on the output-row axis.  outH must divide by the mesh size."""
+    sharded on the output-row axis.  Non-divisible outH is padded with
+    duplicated last-row geometry and cropped after."""
     from ..ops.resample import decode_gaussian_hyper as _dec, pad2d as _pad
 
     n = mesh.devices.size
     oh, ow = geom.out_sz
-    if oh % n:
-        raise ValueError(f"outH {oh} must divide mesh size {n}")
 
     rho, sigma_x, sigma_y = _dec(rho, sigma_x, sigma_y, max_sigma)
     xpad = _pad(img, geom.pad_x, geom.pad_y, pad_mode)
@@ -138,9 +148,11 @@ def steering_gaussian_warp_sharded(img, rho, sigma_x, sigma_y, geom, mesh, *,
     sxp = _pad(sigma_x, geom.pad_x, geom.pad_y, "edge")
     syp = _pad(sigma_y, geom.pad_x, geom.pad_y, "edge")
 
-    lin = jnp.asarray(geom.lin_idx)                          # [S,S,oh,ow]
-    dx = jnp.asarray(geom.dis_x.transpose(2, 0, 1), img.dtype)  # [S,oh,ow]
-    dy = jnp.asarray(geom.dis_y.transpose(2, 0, 1), img.dtype)
+    lin, _ = _pad_rows(jnp.asarray(geom.lin_idx), 2, n)      # [S,S,oh',ow]
+    dx, _ = _pad_rows(jnp.asarray(geom.dis_x.transpose(2, 0, 1), img.dtype),
+                      1, n)                                  # [S,oh',ow]
+    dy, _ = _pad_rows(jnp.asarray(geom.dis_y.transpose(2, 0, 1), img.dtype),
+                      1, n)
 
     fn = partial(_warp_local, support=geom.support)
     shardmapped = jax.shard_map(
@@ -148,4 +160,5 @@ def steering_gaussian_warp_sharded(img, rho, sigma_x, sigma_y, geom, mesh, *,
         in_specs=(P(), P(), P(), P(), P(None, None, axis, None),
                   P(None, axis, None), P(None, axis, None)),
         out_specs=P(*([None] * (img.ndim - 2) + [axis, None])))
-    return shardmapped(xpad, rhop, sxp, syp, lin, dx, dy)
+    out = shardmapped(xpad, rhop, sxp, syp, lin, dx, dy)
+    return out[..., :oh, :]

@@ -26,7 +26,13 @@ from .ops import (
     steering_gaussian_resize,
     steering_gaussian_warp,
 )
-from .ops.lut_pipeline import lut_stage1_intermediate
+from .ops.lut_pipeline import PackedTables, lut_stage1_intermediate
+
+
+def _device_tables(t):
+    if isinstance(t, PackedTables):
+        return t                       # tables already device arrays
+    return {k: jnp.asarray(v) for k, v in t.items()}
 
 
 class NetPredictor:
@@ -201,49 +207,84 @@ class LutPredictor:
                  modes=("s", "c", "t"), modes2=("s", "c", "t"),
                  supp_size: int = 2, max_sigma: float = 10.0,
                  stages: int = 2, norm: int = 255,
-                 cell_tables: bool = True, mesh=None):
+                 table_layout: str = "packed8", mesh=None):
         self.bank = bank
         self.linear = linear
         self.modes = tuple(modes)
         self.modes2 = tuple(modes2)
         self.supp_size = supp_size
         self.max_sigma = max_sigma
+        if stages != bank.stages:
+            raise ValueError(
+                f"stages={stages} but the LUT bank holds {bank.stages} "
+                f"stages ({len(bank.inter)} intermediate feature table sets "
+                "+ final feature + hyper) — load_lut_bank(stages=...) must "
+                "match (eval_lut_sr.py:747-775 loads one table set per "
+                "stage)")
         self.stages = stages
         self.norm = norm
         s1, s2 = bank.as_int32()
-        if cell_tables:
-            # cell-major layout: one row gather per lookup (simplex.py);
-            # int32 rows measured faster than int8 (TPU gathers pay for
-            # sub-word handling more than for the extra bytes)
+        inter = bank.inter_as_int32()
+        if table_layout in ("packed8", "packed32"):
+            # packed rotation-group rows (lut_pipeline.build_packed_tables):
+            # members sharing a spatial pixel set share one row gather —
+            # 12 row gathers/pixel → 5 (stage 1) / 6 (stage 2).  int8 rows
+            # measured 1.6× faster than int32 on top (flat contiguous rows
+            # avoid the sub-word gather penalty the old [N,16,oC] cell
+            # layout paid): 169 ms → 44 ms for both stages at 360×640
+            # (BASELINE.md experiment matrix).
+            from .ops.lut_pipeline import build_packed_tables
+            dt = np.int8 if table_layout == "packed8" else np.int32
+            interval = bank.interval
+
+            def pack(tables, split_r):
+                cast = {k: v.astype(dt) for k, v in tables.items()}
+                return build_packed_tables(cast, self.modes if not split_r
+                                           else self.modes2, split_r=split_r,
+                                           interval=interval)
+
+            s1 = pack(s1, False)
+            s2 = pack(s2, True)
+            inter = [pack(t, False) for t in inter]
+        elif table_layout == "cells":
+            # cell-major [16⁴, 16, oC] rows: one gather per ensemble member
             from .ops.simplex import build_cell_table
             s1 = {k: build_cell_table(v, bank.interval)
                   for k, v in s1.items()}
             s2 = {k: build_cell_table(v, bank.interval)
                   for k, v in s2.items()}
+            inter = [{k: build_cell_table(v, bank.interval)
+                      for k, v in t.items()} for t in inter]
+        elif table_layout != "flat":
+            raise ValueError(f"unknown table_layout {table_layout!r}")
         self.mesh = mesh
         if mesh is not None:
             from .parallel import replicate
             s1 = replicate(s1, mesh)
             s2 = replicate(s2, mesh)
-        self._s1 = {k: jnp.asarray(v) for k, v in s1.items()}
-        self._s2 = {k: jnp.asarray(v) for k, v in s2.items()}
+            inter = [replicate(t, mesh) for t in inter]
+        self._s1 = _device_tables(s1)
+        self._s2 = _device_tables(s2)
+        self._inter = [_device_tables(t) for t in inter]
         self._resize_cache: Dict = {}
         self._warp_cache: Dict = {}
 
     # -- stages -------------------------------------------------------------
 
     def _stages_fn(self, img_i32):
-        """img [C,H,W] int32 → (feat int32 [C,H,W], hyper_u8 int32 [C,H,W,oC])."""
+        """img [C,H,W] int32 → (feat int32 [C,H,W], hyper_u8 int32 [C,H,W,oC]).
+
+        Stage loop parity: eval_lut_sr.py:541-577 — each feature stage uses
+        its OWN table set; intermediate stages average over modes·4 with a
+        +norm//2 bias, the final feature stage over modes with no bias.
+        """
         interval = self.bank.interval
         feat = img_i32
-        for s in range(self.stages - 1):
-            if s + 1 == self.stages - 1:
-                feat = lut_stage1(feat, self._s1, self.modes,
-                                  interval=interval, norm=self.norm)
-            else:
-                feat = lut_stage1_intermediate(feat, self._s1, self.modes,
-                                               interval=interval,
-                                               norm=self.norm)
+        for tables in self._inter:
+            feat = lut_stage1_intermediate(feat, tables, self.modes,
+                                           interval=interval, norm=self.norm)
+        feat = lut_stage1(feat, self._s1, self.modes,
+                          interval=interval, norm=self.norm)
         hyper = lut_stage2(feat, self._s2, self.modes2, interval=interval,
                            norm=self.norm)
         return feat, hyper

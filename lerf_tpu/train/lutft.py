@@ -29,6 +29,11 @@ from ..models.srnet import round_ste
 
 def params_from_bank(bank: LUTBank) -> Dict:
     """LUT int8 values → float trainables /127 (model.py:144-160)."""
+    if bank.inter:
+        raise NotImplementedError(
+            "LUT fine-tuning is two-stage only, like the reference SWF2LUT "
+            "(model.py:140-158 loads s1/s2 tables exclusively); got a bank "
+            f"with {bank.stages} stages")
     return {
         "s1": {k: jnp.asarray(v.astype(np.float32) / 127.0)
                for k, v in bank.stage1.items()},

@@ -103,3 +103,42 @@ def test_grayscale_benchmark_promotion(tmp_path):
     lr, hr3, name = bench.pair(0, 2, 2)
     assert lr.shape == (8, 8, 3) and hr3.shape == (16, 16, 3)
     assert np.array_equal(hr3[:, :, 0], hr3[:, :, 1])
+
+
+def test_srbenchmark_nsigma_noisy_eval(tmp_path):
+    """nsigma>0 adds deterministic Gaussian noise to LR (denoising-mode
+    eval; the reference's MultiSRBenchmark accepts nsigma at data.py:248
+    but never applies it — we implement the intended behavior)."""
+    from lerf_tpu.data.benchmarks import SRBenchmark
+
+    os.makedirs(tmp_path / "S" / "HR")
+    os.makedirs(tmp_path / "S" / "LR_bicubic" / "rrLR_X2.00_2.00")
+    rng = np.random.RandomState(1)
+    hr = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    Image.fromarray(hr).save(tmp_path / "S" / "HR" / "a.png")
+    Image.fromarray(hr[::2, ::2]).save(
+        tmp_path / "S" / "LR_bicubic" / "rrLR_X2.00_2.00" / "a.png")
+
+    clean = SRBenchmark(str(tmp_path), "S").pair(0, 2, 2)[0]
+    noisy_bench = SRBenchmark(str(tmp_path), "S", nsigma=10.0)
+    noisy = noisy_bench.pair(0, 2, 2)[0]
+    assert not np.array_equal(noisy, clean)
+    assert noisy.min() >= 0 and noisy.max() <= 255
+    assert noisy.dtype == np.float32
+    # integral (round applied) and deterministic across re-reads
+    np.testing.assert_array_equal(noisy, np.round(noisy))
+    np.testing.assert_array_equal(noisy, noisy_bench.pair(0, 2, 2)[0])
+    got_sigma = np.std(noisy.astype(np.float64) - clean)
+    assert 5.0 < got_sigma < 15.0
+
+
+def test_bool_flags_no_prefix(tmp_path):
+    """BooleanOptionalAction: default-True bools are disablable."""
+    from lerf_tpu.config import TestConfig, parse_config
+
+    cfg = parse_config(TestConfig, ["--linear"])
+    assert cfg.linear is True
+    cfg = parse_config(TestConfig, ["--no-linear"])
+    assert cfg.linear is False
+    cfg = parse_config(TestConfig, ["--nsigma", "2.5"])
+    assert cfg.nsigma == 2.5

@@ -71,3 +71,45 @@ def test_train_loop_with_device_data(tmp_path):
         two_stage=True, device_data=True, auto_reseed=0, seed=1)
     params = train(cfg)
     assert "s1" in params and "s2" in params
+
+
+def test_tiled_dataset_dense_and_valid():
+    """tile= pre-tiling: zero padding waste on heterogeneous sizes, crops
+    still drawn from real image content."""
+    from lerf_tpu.data.device_data import DeviceDataset, tile_images
+
+    rng = np.random.RandomState(0)
+    sizes = [(24, 40), (32, 28), (48, 48)]
+    lrs = [np.full((h, w, 3), 10 * i + 10, np.uint8)
+           for i, (h, w) in enumerate(sizes)]
+    hrs = [np.full((2 * h, 2 * w, 3), 10 * i + 10, np.uint8)
+           for i, (h, w) in enumerate(sizes)]
+
+    tl, th = tile_images(lrs, hrs, 2, 16)
+    assert all(t.shape == (16, 16, 3) for t in tl)
+    assert all(t.shape == (32, 32, 3) for t in th)
+    # per-image tile counts: ceil-cover grids
+    assert len(tl) == 2 * 3 + 2 * 2 + 3 * 3
+
+    ds = DeviceDataset(lrs, hrs, scale=2, crop_size=8, in_c=3, tile=16)
+    # dense: footprint is exactly n_tiles * tile bytes * (1 + scale^2)
+    n = len(tl)
+    assert ds.hbm_bytes == n * 16 * 16 * 3 + n * 32 * 32 * 3
+    # max-pad stacking of the same images would cost the max-shape blowup
+    padded = DeviceDataset(lrs, hrs, scale=2, crop_size=8, in_c=3)
+    assert padded.hbm_bytes == 3 * (48 * 48 * 3) * 5
+    im, lb = ds.sample_batch(jax.random.PRNGKey(0), 16)
+    assert im.shape == (16, 3, 8, 8) and lb.shape == (16, 3, 16, 16)
+    vals = np.unique(np.asarray(im) * 255.0)
+    assert set(np.round(vals).astype(int)).issubset({10, 20, 30})
+    # lr/hr crops pair up (constant per image)
+    np.testing.assert_allclose(np.asarray(im).mean((1, 2, 3)),
+                               np.asarray(lb).mean((1, 2, 3)), atol=1e-6)
+
+
+def test_tile_smaller_than_crop_rejected():
+    from lerf_tpu.data.device_data import DeviceDataset
+    lrs = [np.zeros((32, 32, 3), np.uint8)]
+    hrs = [np.zeros((64, 64, 3), np.uint8)]
+    with pytest.raises(ValueError, match="tile"):
+        DeviceDataset(lrs, hrs, scale=2, crop_size=24, in_c=3, tile=16)

@@ -70,3 +70,47 @@ def test_imdn_train_step_runs():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_imdn2_bit_parity_vs_reference_torch():
+    """Random-init reference torch IMDN2 -> converter -> flax forward parity.
+
+    Closes the model-zoo proof gap: the LeRF-Net/Net++ eval path now has the
+    same oracle-parity evidence as the LUT form (reference
+    resample/model.py:475-537; converter models/convert.py).
+    """
+    import pytest
+    torch = pytest.importorskip("torch")
+    from oracle import has_reference
+    if not has_reference():
+        pytest.skip("reference implementation not available")
+    import sys
+    for p in ("/root/reference", "/root/reference/resample"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import model as ref_model
+    from types import SimpleNamespace
+
+    torch.manual_seed(0)
+    opt = SimpleNamespace(norm=255, nf=12)
+    tmodel = ref_model.IMDN2(opt, inC=3, outC=3).eval()
+
+    from lerf_tpu.models.convert import imdn_rtc_from_torch
+    sd = tmodel.state_dict()
+    variables = {"params": {
+        "stage1": imdn_rtc_from_torch("stage1", sd),
+        "stage2": imdn_rtc_from_torch("stage2", sd),
+    }}
+    jmodel = IMDN2(in_c=3, out_c=3, nf=12)
+
+    rng = np.random.RandomState(1)
+    x = rng.rand(2, 3, 11, 13).astype(np.float32)  # NCHW in [0,1]
+    with torch.no_grad():
+        want1 = tmodel.predict(torch.from_numpy(x), stage=1).numpy()
+        want2 = tmodel.predict(torch.from_numpy(x), stage=2).numpy()
+
+    nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+    got1 = np.asarray(jmodel.apply(variables, nhwc, 1)).transpose(0, 3, 1, 2)
+    got2 = np.asarray(jmodel.apply(variables, nhwc, 2)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got1, want1, atol=2e-4, rtol=0)
+    np.testing.assert_allclose(got2, want2, atol=2e-6, rtol=0)

@@ -1,0 +1,77 @@
+"""Packed rotation-group tables: bit-exact vs the flat ensemble path."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lerf_tpu.ops.lut_pipeline import (
+    MODE_OFFSETS, build_packed_tables, group_rotations, lut_ensemble,
+    lut_stage1, lut_stage2, rotate_offset,
+)
+
+RNG = np.random.RandomState
+
+
+def rand_luts(modes, oc, split_r, seed=0):
+    rng = RNG(seed)
+    keys = [f"{m}r{r}" for m in modes for r in (0, 1)] if split_r \
+        else list(modes)
+    return {k: jnp.asarray(
+        rng.randint(-127, 128, (17 ** 4, oc)).astype(np.int32))
+        for k in keys}
+
+
+@pytest.mark.parametrize("mode,n_groups", [
+    ("s", 1), ("d", 1), ("c", 2), ("t", 2), ("y", 4),
+])
+def test_group_rotations_counts(mode, n_groups):
+    groups = group_rotations(mode)
+    assert len(groups) == n_groups
+    assert sorted(r for g in groups for r in g["rots"]) == [0, 1, 2, 3]
+    # the decomposition reproduces every rotated offset exactly
+    for g in groups:
+        for r, delta, perm in zip(g["rots"], g["deltas"], g["perms"]):
+            want = [rotate_offset(off, r) for off in MODE_OFFSETS[mode]]
+            got = [(delta[0] + g["canon"][perm[k]][0],
+                    delta[1] + g["canon"][perm[k]][1]) for k in range(4)]
+            assert got == want
+
+
+@pytest.mark.parametrize("modes,split_r,oc", [
+    (("s", "c", "t"), False, 1),
+    (("s", "c", "t"), True, 3),
+    (("s", "d", "y"), False, 1),
+    (("s",), True, 1),
+])
+def test_packed_ensemble_bit_exact(modes, split_r, oc):
+    luts = rand_luts(modes, oc, split_r, seed=len(modes) + oc)
+    packed = build_packed_tables(luts, modes, split_r=split_r)
+    img = jnp.asarray(RNG(3).randint(0, 256, (2, 9, 13)).astype(np.int32))
+    want = np.asarray(lut_ensemble(img, luts, modes, split_r=split_r))
+    got = np.asarray(lut_ensemble(img, packed, modes, split_r=split_r))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_packed_int8_tables_bit_exact():
+    luts = rand_luts(("s", "c", "t"), 3, True, seed=9)
+    luts8 = {k: np.asarray(v).astype(np.int8) for k, v in luts.items()}
+    packed8 = build_packed_tables(luts8, ("s", "c", "t"), split_r=True)
+    img = jnp.asarray(RNG(4).randint(0, 256, (1, 7, 11)).astype(np.int32))
+    want = np.asarray(lut_ensemble(img, luts, ("s", "c", "t"), split_r=True))
+    got = np.asarray(lut_ensemble(img, packed8, ("s", "c", "t"),
+                                  split_r=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_packed_stages_bit_exact():
+    s1 = rand_luts(("s", "c", "t"), 1, False, seed=20)
+    s2 = rand_luts(("s", "c", "t"), 3, True, seed=21)
+    p1 = build_packed_tables(s1, ("s", "c", "t"))
+    p2 = build_packed_tables(s2, ("s", "c", "t"), split_r=True)
+    img = jnp.asarray(RNG(5).randint(0, 256, (3, 10, 12)).astype(np.int32))
+    feat_want = np.asarray(lut_stage1(img, s1, ("s", "c", "t")))
+    feat = lut_stage1(img, p1, ("s", "c", "t"))
+    np.testing.assert_array_equal(np.asarray(feat), feat_want)
+    hyper_want = np.asarray(lut_stage2(feat, s2, ("s", "c", "t")))
+    got = np.asarray(lut_stage2(feat, p2, ("s", "c", "t")))
+    np.testing.assert_array_equal(got, hyper_want)

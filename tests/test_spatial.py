@@ -12,17 +12,16 @@ from lerf_tpu.parallel.spatial import steering_gaussian_resize_sharded, \
     steering_gaussian_warp_sharded
 
 
-@pytest.mark.parametrize("scale", [[2, 2], [2.5, 1.5]])
+@pytest.mark.parametrize("scale", [[2, 2], [2.5, 1.5], [2.35, 2.0]])
 def test_sharded_resize_matches_unsharded(scale):
+    """Includes a non-divisible outH (16*2.35=37 rows on 8 devices) — the
+    sharded path pads duplicated geometry rows and crops."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     mesh = make_mesh(8)
     rng = np.random.RandomState(0)
     c, h, w = 3, 16, 20
     geom = ResizeGeometry.create((h, w), scale_factors=scale, support=2)
-    if geom.out_sz[0] % 8:
-        geom = ResizeGeometry.create((h, w), out_sz=(
-            (geom.out_sz[0] // 8) * 8, geom.out_sz[1]), support=2)
     img = jnp.asarray(rng.rand(c, h, w).astype(np.float32) * 255)
     hyper = rng.rand(3, c, h, w).astype(np.float32)
     rho, sx, sy = (jnp.asarray(x) for x in hyper)
@@ -40,7 +39,7 @@ def test_sharded_warp_matches_unsharded():
     mesh = make_mesh(8)
     rng = np.random.RandomState(1)
     c, h, w = 3, 14, 18
-    oh, ow = 24, 30
+    oh, ow = 27, 30      # outH deliberately not divisible by 8
     matrix = np.linalg.inv(np.diag([0.55, 0.6, 1.0]))
     geom = WarpGeometry.create((h, w), matrix, (oh, ow), support=2)
     img = jnp.asarray(rng.rand(c, h, w).astype(np.float32) * 255)
