@@ -22,8 +22,12 @@ import numpy as np
 
 # Reference numpy deploy path (FourSimplexInterpFaster ensemble + numpy
 # steering resize), measured on this host via tools/bench_reference.py:
-# 52.86 s/frame at 360×640→×4 = 0.0697 output MP/s.
+# 52.86 s/frame at 360×640→×4 = 0.0697 output MP/s.  Warp variant
+# (SteeringGaussianWarp2dNumpy, tools/bench_reference_warp.py): 52.10
+# s/frame = 0.0708 MP/s at the same output size.
 REF_NUMPY_MPS = float(os.environ.get("LERF_REF_NUMPY_MPS", "0.0697"))
+REF_NUMPY_WARP_MPS = float(os.environ.get("LERF_REF_NUMPY_WARP_MPS",
+                                          "0.0708"))
 
 LR_H, LR_W = 360, 640           # 1440×2560 (QHD) output at ×4
 SCALE = 4
@@ -61,16 +65,24 @@ def load_luts():
     return s1, s2
 
 
-def timeit(fn, *args, warmup=WARMUP, iters=ITERS):
+def chain_time(step, x0, warmup=WARMUP, iters=ITERS):
+    """Steady-state seconds/iter on a serial dependency chain.
+
+    Iteration k's input is derived from iteration k-1's output inside
+    ``step``.  Repeat-same-input loops on this stack can report physically
+    impossible times (below the HBM write time of the output — see
+    BASELINE.md "Timing-methodology note"); chaining makes every iteration's
+    work unavoidable.
+    """
     import jax
-    out = None
+    x = x0
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        x = step(x)
+    jax.block_until_ready(x)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        x = step(x)
+    jax.block_until_ready(x)
     return (time.perf_counter() - t0) / iters
 
 
@@ -105,10 +117,11 @@ def bench_lut_sr(s1, s2, h, w, scale=SCALE):
         feat = lut_stage1(img_i32, s1, MODES)
         hyper = lut_stage2(feat, s2, MODES)
         rho, sx, sy = split_gaussian_hyper(hyper)
-        return steering_gaussian_resize(
+        out = steering_gaussian_resize(
             feat.astype(jnp.float32), rho, sx, sy, geom, max_sigma=10.0)
+        return jnp.clip(jnp.round(out[:, :h, :w]), 0, 255).astype(jnp.int32)
 
-    dt = timeit(pipeline, rand_img(h, w))
+    dt = chain_time(pipeline, rand_img(h, w))
     return (h * scale) * (w * scale) / 1e6 / dt
 
 
@@ -129,10 +142,12 @@ def bench_lut_warp(s1, s2, h, w, scale=SCALE):
         feat = lut_stage1(img_i32, s1, MODES)
         hyper = lut_stage2(feat, s2, MODES)
         rho, sx, sy = split_gaussian_hyper(hyper)
-        return steering_gaussian_warp(
+        out = steering_gaussian_warp(
             feat.astype(jnp.float32), rho, sx, sy, geom, max_sigma=10.0)
+        out = jnp.nan_to_num(out, nan=0.0)
+        return jnp.clip(jnp.round(out[:, :h, :w]), 0, 255).astype(jnp.int32)
 
-    dt = timeit(pipeline, rand_img(h, w))
+    dt = chain_time(pipeline, rand_img(h, w))
     return out_hw[0] * out_hw[1] / 1e6 / dt
 
 
@@ -163,9 +178,9 @@ def bench_net_sr(h, w, scale=SCALE, dtype="float32"):
             feat.astype(jnp.float32), hyper[..., 0].astype(jnp.float32),
             hyper[..., 1].astype(jnp.float32),
             hyper[..., 2].astype(jnp.float32), geom, max_sigma=10.0)
-        return out
+        return jnp.clip(jnp.round(out[:, :h, :w]), 0, 255).astype(jnp.int32)
 
-    dt = timeit(pipeline, rand_img(h, w))
+    dt = chain_time(pipeline, rand_img(h, w))
     return (h * scale) * (w * scale) / 1e6 / dt
 
 
@@ -186,7 +201,7 @@ def main(argv=None):
         emit("lerf_g_lut_sr_4k_throughput",
              bench_lut_sr(s1, s2, 720, 1280))          # 2880×5120 output
         emit("lerf_g_lut_warp_x4_throughput",
-             bench_lut_warp(s1, s2, LR_H, LR_W))
+             bench_lut_warp(s1, s2, LR_H, LR_W), REF_NUMPY_WARP_MPS)
         emit("lerf_g_net_sr_x4_f32_throughput",
              bench_net_sr(LR_H, LR_W, dtype="float32"), REF_NUMPY_MPS)
         emit("lerf_g_net_sr_x4_bf16_throughput",

@@ -88,8 +88,12 @@ class DeviceDataset:
 
     @property
     def hbm_bytes(self) -> int:
-        """Logical byte size of the image stacks (verified against device
-        memory_stats on the real chip in tools/check_device_data_hbm.py)."""
+        """Logical byte size of the image stacks.  With ``tile=`` the
+        stacks are dense, so this is exact up to XLA's (8,128)-tile padding
+        of the minor dims (W·3 is large, so that padding is negligible).
+        tools/check_device_data_hbm.py compares against device
+        memory_stats where the runtime reports them (the axon tunnel
+        reports none)."""
         return int(self.lr.nbytes + self.hr.nbytes)
 
     @classmethod

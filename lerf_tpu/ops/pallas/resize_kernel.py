@@ -1,5 +1,16 @@
 """Fused steerable-Gaussian resize as a Pallas TPU kernel.
 
+STATUS — validated, then retired with data (BASELINE.md "Pallas resize
+kernel"): compiled on real hardware and bit-exact vs the XLA path
+(max_abs_err 0.0 at 360×640×4), but measured SLOWER under chained
+steady-state timing (5.53 ms vs XLA 4.29 ms at 360×640→×4), and the
+whole-input-per-tile VMEM plan exceeds the 16 MB scoped limit at
+720×1280.  For periodic geometries the XLA path is already gather-free
+(static strided slices fused with the weight math), so this kernel has no
+DMA advantage to recover.  It is kept as a hardware-proven reference
+implementation (tests/test_pallas.py; on-chip parity gated on
+LERF_TPU_TESTS=1) and is NOT dispatched by the production ops.
+
 One kernel fuses, per VMEM-resident output row tile: periodic neighbor
 selection (static strided slices — no gathers, no index tensors), hyper-map
 decode, anisotropic-Gaussian weighting, window normalization and

@@ -317,6 +317,79 @@ def fixed_kernel_resize(img, geom: ResizeGeometry, kernel: str = "cubic", *,
 # ---------------------------------------------------------------------------
 
 
+def _unclipped_corner(fov: np.ndarray) -> np.ndarray:
+    """Reconstruct the unclipped left/top index from a stored clipped
+    support-2 pair (geometry.py:161 clips into [0, in-1]; a pair is clipped
+    iff its entries are equal: (0,0) ⇒ left was -1, (m,m) ⇒ left was m)."""
+    f0 = fov[..., 0].astype(np.int64)
+    f1 = fov[..., 1].astype(np.int64)
+    return np.where(f1 == 0, -1, f0)
+
+
+def _rowpack_warp_gather(planes, geom: WarpGeometry):
+    """Row-packed warp gather — the fast path for support-2 warps.
+
+    The generic warp gather is element-wise random access: 4 tensors × C
+    channels × S² neighbors of single-element reads, and HBM random reads
+    pay a full ~512-byte transaction each (measured 3.24 s/frame chained at
+    360×640→1440×2560).  Here ALL values an output pixel needs — the 2×2
+    neighbor patch of every variable and channel — are packed into one
+    contiguous row of a corner-indexed operand, so the whole warp becomes
+    ONE embedding-style ``jnp.take`` row gather per output pixel (the same
+    access pattern as the packed LUT tables, BASELINE.md layout matrix).
+
+    ``planes``: list of [C, H, W] device arrays ALREADY padded per their
+    pad mode.  Border clipping parity: the stored FOV is clipped into
+    [0, in-1], which is reproduced exactly by clip-remapped row/col maps
+    plus unclipped corners (bit-equal on CPU vs the element path).
+
+    Returns: list over (s, t) of lists over planes of [N, C] arrays
+    (N = outH·outW, output-pixel major).
+    """
+    C = planes[0].shape[0]
+    hp, wp = planes[0].shape[-2:]
+    in_h = hp - max(geom.pad_x[0], 0) - max(geom.pad_x[1], 0)
+    in_w = wp - max(geom.pad_y[0], 0) - max(geom.pad_y[1], 0)
+    row_map = np.clip(np.arange(-1, hp + 1), 0, in_h - 1)
+    col_map = np.clip(np.arange(-1, wp + 1), 0, in_w - 1)
+    remapped = [p[..., row_map, :][..., :, col_map] for p in planes]
+    h2, w2 = hp + 2, wp + 2
+
+    blocks = []
+    for s in (0, 1):
+        for t in (0, 1):
+            for p in remapped:
+                blocks.append(p[..., s:s + h2 - 1, t:t + w2 - 1])
+    k = len(blocks) * C
+    packed = jnp.concatenate(blocks, axis=0)         # [k, h2-1, w2-1]
+    packed = packed.transpose(1, 2, 0).reshape(-1, k)  # rows: corner-major
+
+    f0x = _unclipped_corner(geom.fov_x) + 1          # ring offset
+    f0y = _unclipped_corner(geom.fov_y) + 1
+    flat = jnp.asarray((f0x * (w2 - 1) + f0y).reshape(-1).astype(np.int32))
+    rows = jnp.take(packed, flat, axis=0)            # [N, k]
+
+    out = []
+    nv = len(planes)
+    for b in range(4):                               # (s, t) blocks
+        vals = []
+        for v in range(nv):
+            lane0 = (b * nv + v) * C
+            vals.append(rows[:, lane0:lane0 + C])
+        out.append(vals)
+    return out
+
+
+def _warp_dis_flat(geom: WarpGeometry, dtype):
+    """dis [oh,ow,S] → per-support [N, 1] columns for the row-packed path."""
+    n = geom.out_sz[0] * geom.out_sz[1]
+    dx = [jnp.asarray(geom.dis_x[..., s].reshape(n, 1), dtype)
+          for s in range(geom.support)]
+    dy = [jnp.asarray(geom.dis_y[..., t].reshape(n, 1), dtype)
+          for t in range(geom.support)]
+    return dx, dy
+
+
 def _gather_warp(x: jnp.ndarray, geom: WarpGeometry, mode: str):
     """Flat neighbor gather -> [..., S, S, outH, outW] (support leading —
     see WarpGeometry.lin_idx layout note).
@@ -360,9 +433,29 @@ def steering_gaussian_warp(img, rho, sigma_x, sigma_y, geom: WarpGeometry, *,
                            max_sigma: float = 10.0,
                            pad_mode: str = "constant"):
     """Steerable-Gaussian homographic warp
-    (``SteeringGaussianWarp2dNumpy.warp``, resize_right2d_numpy.py:496-577)."""
+    (``SteeringGaussianWarp2dNumpy.warp``, resize_right2d_numpy.py:496-577).
+
+    Support-2 [C,H,W] inputs (the deploy configuration) take the row-packed
+    single-gather path (:func:`_rowpack_warp_gather`); other shapes use the
+    generic element gather.
+    """
     rho, sigma_x, sigma_y = decode_gaussian_hyper(rho, sigma_x, sigma_y,
                                                   max_sigma)
+    if geom.support == 2 and img.ndim == 3:
+        planes = [pad2d(img, geom.pad_x, geom.pad_y, pad_mode)] + [
+            pad2d(p, geom.pad_x, geom.pad_y, "edge")
+            for p in (rho, sigma_x, sigma_y)]
+        gathered = _rowpack_warp_gather(planes, geom)
+        dx, dy = _warp_dis_flat(geom, img.dtype)
+        wn = None
+        ws = None
+        for b, (s, t) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            x, r_, sx_, sy_ = gathered[b]
+            w = steering_gaussian_weight(r_, sx_, sy_, dx[s], dy[t])
+            wn = w * x if wn is None else wn + w * x
+            ws = w if ws is None else ws + w
+        out = wn / ws                                 # [N, C]
+        return out.T.reshape(img.shape[0], *geom.out_sz)
     f_rho = _gather_warp(rho, geom, "edge")
     f_sx = _gather_warp(sigma_x, geom, "edge")
     f_sy = _gather_warp(sigma_y, geom, "edge")
@@ -376,8 +469,30 @@ def amplified_linear_warp(img, alpha, geom: WarpGeometry, *,
                           max_alpha: float = 1.0,
                           pad_mode: str = "constant"):
     """Amplified-linear homographic warp
-    (``AmplifiedLinearWarp2dNumpy.warp``, resize_right2d_numpy.py:579-635)."""
+    (``AmplifiedLinearWarp2dNumpy.warp``, resize_right2d_numpy.py:579-635).
+
+    Support-2 [C,H,W] inputs take the row-packed single-gather path like
+    :func:`steering_gaussian_warp`.
+    """
     alpha = decode_linear_hyper(alpha, max_alpha)
+    if geom.support == 2 and img.ndim == 3:
+        n = geom.out_sz[0] * geom.out_sz[1]
+        planes = [pad2d(img, geom.pad_x, geom.pad_y, pad_mode),
+                  pad2d(alpha, geom.pad_x, geom.pad_y, "edge")]
+        gathered = _rowpack_warp_gather(planes, geom)
+        dx, dy = _warp_dis_flat(geom, img.dtype)
+        wn = None
+        ws = None
+        for b, (s, t) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            x, a_ = gathered[b]
+            mx = tuple(jnp.asarray(m) for m in
+                       _branch_masks(geom.dis_x[..., s].reshape(n, 1)))
+            my = tuple(jnp.asarray(m) for m in
+                       _branch_masks(geom.dis_y[..., t].reshape(n, 1)))
+            w = amplified_linear_weight(a_, dx[s], dy[t], mx, my)
+            wn = w * x if wn is None else wn + w * x
+            ws = w if ws is None else ws + w
+        return (wn / ws).T.reshape(img.shape[0], *geom.out_sz)
     f_alpha = _gather_warp(alpha, geom, "edge")
     dx64 = geom.dis_x.transpose(2, 0, 1)[:, None]     # [S,1,oh,ow]
     dy64 = geom.dis_y.transpose(2, 0, 1)[None, :]     # [1,S,oh,ow]

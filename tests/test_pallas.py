@@ -33,3 +33,34 @@ def test_pallas_rejects_nonperiodic():
     with pytest.raises(ValueError):
         steering_gaussian_resize_pallas(img, img, img, img, geom,
                                         interpret=True)
+
+
+def test_pallas_hardware_parity():
+    """On-chip Mosaic-compile parity vs the XLA path (the part interpret
+    mode can't prove).  Gated: set LERF_TPU_TESTS=1 on a TPU machine."""
+    import os
+    if os.environ.get("LERF_TPU_TESTS") != "1":
+        pytest.skip("hardware test; set LERF_TPU_TESTS=1 on a TPU machine")
+    import jax
+    try:
+        jax.config.update("jax_platforms", "")  # undo the conftest CPU force
+        if jax.devices()[0].platform == "cpu":
+            pytest.skip("no TPU visible")
+    except RuntimeError as e:
+        pytest.skip(f"cannot switch backend mid-session: {e}")
+    import jax.numpy as jnp
+    from lerf_tpu.ops import ResizeGeometry, steering_gaussian_resize
+    from lerf_tpu.ops.pallas.resize_kernel import \
+        steering_gaussian_resize_pallas
+
+    h, w = 360, 640
+    geom = ResizeGeometry.create((h, w), scale_factors=[4, 4], support=2)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(3, h, w).astype(np.float32) * 255)
+    hyp = [jnp.asarray(rng.rand(3, h, w).astype(np.float32))
+           for _ in range(3)]
+    want = np.asarray(jax.jit(lambda *a: steering_gaussian_resize(
+        *a, geom, max_sigma=10.0))(img, *hyp))
+    got = np.asarray(jax.jit(lambda *a: steering_gaussian_resize_pallas(
+        *a, geom, max_sigma=10.0))(img, *hyp))
+    np.testing.assert_array_equal(got, want)

@@ -204,3 +204,43 @@ def test_batched_matches_single():
             jnp.asarray(img[b]), jnp.asarray(rho[b]), jnp.asarray(sx[b]),
             jnp.asarray(sy[b]), geom))
         np.testing.assert_allclose(batched[b], single, rtol=1e-6, atol=1e-6)
+
+
+def test_rowpack_warp_matches_element_path():
+    """The row-packed single-gather warp (support-2 [C,H,W] fast path) is
+    bit-equal to the generic element-gather path, including clipped-FOV
+    borders and NaN (out-of-view) pixels."""
+    from lerf_tpu.ops.resample import (_gather_warp, _reduce_support_warp,
+                                       _warp_dis, decode_gaussian_hyper,
+                                       steering_gaussian_warp,
+                                       steering_gaussian_weight,
+                                       amplified_linear_warp)
+    from lerf_tpu.ops.geometry import WarpGeometry
+
+    rng = np.random.RandomState(7)
+    mats = [np.linalg.inv(np.asarray([[0.45, 0.02, -0.1],
+                                      [-0.03, 0.55, 0.2],
+                                      [1e-4, -2e-5, 1.0]])),
+            np.asarray([[0.9, 0.15, 5.0], [-0.1, 1.1, -3.0],
+                        [2e-4, 1e-4, 1.0]])]
+    for mat in mats:
+        geom = WarpGeometry.create((22, 31), mat, (45, 60), support=2)
+        img = jnp.asarray(rng.rand(3, 22, 31).astype(np.float32) * 255)
+        hyp = [jnp.asarray(rng.rand(3, 22, 31).astype(np.float32))
+               for _ in range(3)]
+
+        got = np.asarray(steering_gaussian_warp(img, *hyp, geom))
+
+        # reference: the generic element path, forced via a batch dim
+        want = np.asarray(steering_gaussian_warp(img[None], *(
+            h[None] for h in hyp), geom))[0]
+        nan_w, nan_g = np.isnan(want), np.isnan(got)
+        np.testing.assert_array_equal(nan_g, nan_w)
+        np.testing.assert_array_equal(got[~nan_g], want[~nan_w])
+
+        a_got = np.asarray(amplified_linear_warp(img, hyp[0], geom))
+        a_want = np.asarray(amplified_linear_warp(img[None], hyp[0][None],
+                                                  geom))[0]
+        nan_w, nan_g = np.isnan(a_want), np.isnan(a_got)
+        np.testing.assert_array_equal(nan_g, nan_w)
+        np.testing.assert_array_equal(a_got[~nan_g], a_want[~nan_w])
