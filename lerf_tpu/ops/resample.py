@@ -527,21 +527,151 @@ _KERNEL_SUPPORT = {"cubic": 4, "linear": 2, "box": 1, "lanczos2": 4,
                    "lanczos3": 6}
 
 
+def _axis_phase_weights(in_sz: int, out_sz: int, frac, kernel: str,
+                        antialias: bool):
+    """Host float64 per-phase taps for an exact-rational scale p/q.
+
+    Mirrors the reference by_convs weight construction
+    (resize_right.py:130-143,146-155,210-218 with ``by_convs=True``): only
+    the first p output positions are evaluated; phase k's filter applies at
+    input offset ``left[k] + m·q`` for output ``m·p + k``.
+    Returns (p, q, lefts [p], weights [p, T] float64).
+    """
+    import math
+
+    p, q = frac.numerator, frac.denominator
+    sf = float(frac)
+    kern1d = interp_kernels.NP_KERNELS_1D[kernel]
+    support = float(_KERNEL_SUPPORT[kernel])
+    scale_w = 1.0
+    if antialias and sf < 1.0:
+        support = support / sf
+        scale_w = sf
+    eps = np.finfo(np.float32).eps
+    grid = (np.arange(p, dtype=np.float64) / sf
+            + (in_sz - 1) / 2 - (out_sz - 1) / (2 * sf))
+    left = np.ceil(grid - support / 2 - eps).astype(np.int64)
+    taps = np.arange(math.ceil(support - eps), dtype=np.float64)
+    w = kern1d(scale_w * (grid[:, None] - (left[:, None] + taps[None, :])))
+    if scale_w != 1.0:
+        w = scale_w * w
+    s = w.sum(1, keepdims=True)
+    s[s == 0] = 1.0
+    return p, q, left, w / s
+
+
+def _axis_resize_by_convs(x, out_sz: int, frac, kernel: str,
+                          antialias: bool, pad_mode: str, axis: int):
+    """One axis of the by_convs path: per-phase strided correlations.
+
+    The reference realizes each phase as a strided 1-D convolution
+    (resize_right.py:255-281) because that is what's fast in torch/numpy;
+    on TPU the identical computation is T static strided slices fused with
+    the weighted sum (a tiny-kernel 1-D conv would waste the MXU), then a
+    phase interleave.  Output values match the reference's by_convs output.
+    """
+    in_sz = x.shape[axis]
+    p, q, left, w64 = _axis_phase_weights(in_sz, out_sz, frac, kernel,
+                                          antialias)
+    t_taps = w64.shape[1]
+    pad0 = int(max(0, -left.min()))
+    n_k = [(out_sz - k - 1) // p + 1 for k in range(p)]
+    need = max(int(left[k]) + pad0 + (n_k[k] - 1) * q + t_taps
+               for k in range(p))
+    pad1 = int(max(0, need - (in_sz + pad0)))
+    pad_cfg = ((pad0, pad1), (0, 0)) if axis in (-2, x.ndim - 2) \
+        else ((0, 0), (pad0, pad1))
+    xp = pad2d(x, pad_cfg[0], pad_cfg[1], pad_mode)
+
+    pos = axis if axis >= 0 else x.ndim + axis
+    n_max = max(n_k)
+    phases = []
+    for k in range(p):
+        start = int(left[k]) + pad0
+        acc = None
+        for t in range(t_taps):
+            idx = [slice(None)] * x.ndim
+            idx[pos] = slice(start + t, start + t + (n_max - 1) * q + 1, q)
+            sl = xp[tuple(idx)]
+            term = jnp.asarray(w64[k, t], x.dtype) * sl
+            acc = term if acc is None else acc + term
+        phases.append(acc)
+    stacked = jnp.stack(phases, axis=pos + 1)      # [.., n_max, p, ..]
+    shape = list(stacked.shape)
+    shape[pos:pos + 2] = [n_max * p]
+    out = stacked.reshape(shape)
+    idx = [slice(None)] * x.ndim
+    idx[pos] = slice(0, out_sz)
+    return out[tuple(idx)]
+
+
 def resize(img, scale_factors=None, out_shape=None, *,
            interp_method: str = "cubic", antialiasing: bool = True,
-           pad_mode: str = "constant"):
+           pad_mode: str = "constant", by_convs: bool = False,
+           max_numerator: int = 10, scale_tolerance=None):
     """ResizeRight-style convenience API (vendored ``resize_right.py:36-127``
     in the reference; used there to prepare benchmark LR data).
 
     img: [..., H, W]; scale/out_shape spatial-only.  Equivalent to building
     a :class:`ResizeGeometry` with the kernel's support and anti-aliased
     downscaling, then :func:`fixed_kernel_resize`.
+
+    ``by_convs=True`` mirrors the reference's strided-conv fast path for
+    rational scales (resize_right.py:221-281): scales are snapped to exact
+    fractions p/q (``Fraction(1/sf).limit_denominator(max_numerator)``
+    inverted, resize_right.py:327-342), each axis is resized independently
+    (sorted ascending by scale) by p per-phase strided correlations, and a
+    dim whose scale is not within ``scale_tolerance`` of a fraction falls
+    back to the generic path — all exactly like the reference.
     """
+    from fractions import Fraction
+
     support = _KERNEL_SUPPORT[interp_method]
-    geom = ResizeGeometry.create(
-        img.shape[-2:], scale_factors=scale_factors,
-        out_sz=out_shape, support=support, antialias=antialiasing)
-    return fixed_kernel_resize(img, geom, interp_method, pad_mode=pad_mode)
+    in_hw = img.shape[-2:]
+    if scale_factors is None and out_shape is None:
+        raise ValueError("either scale_factors or out_shape required")
+    if scale_factors is None:
+        scale_factors = [out_shape[0] / in_hw[0], out_shape[1] / in_hw[1]]
+    if not isinstance(scale_factors, (list, tuple)):
+        scale_factors = [scale_factors, scale_factors]
+    if out_shape is None:
+        out_shape = [int(np.ceil(s * i))
+                     for s, i in zip(scale_factors, in_hw)]
+
+    if not by_convs:
+        geom = ResizeGeometry.create(
+            in_hw, scale_factors=list(scale_factors),
+            out_sz=tuple(out_shape), support=support, antialias=antialiasing)
+        return fixed_kernel_resize(img, geom, interp_method,
+                                   pad_mode=pad_mode)
+
+    tol = np.finfo(np.float32).eps if scale_tolerance is None \
+        else scale_tolerance
+    out = img
+    # dims sorted ascending by scale, scale-1 dims skipped (resize_right.py:60-64)
+    order = sorted((0, 1), key=lambda d: scale_factors[d])
+    for d in order:
+        sf = scale_factors[d]
+        if sf == 1.0 and out_shape[d] == out.shape[-2 + d]:
+            continue
+        axis = -2 + d
+        frac = Fraction(1.0 / sf).limit_denominator(max_numerator)
+        frac = Fraction(frac.denominator, frac.numerator)
+        if abs(float(frac) - sf) < tol:
+            out = _axis_resize_by_convs(out, out_shape[d], frac,
+                                        interp_method, antialiasing,
+                                        pad_mode, axis)
+        else:
+            # per-dim generic fallback, like the reference's mixed by_convs
+            sz = list(out.shape[-2:])
+            sz[d] = out_shape[d]
+            geom = ResizeGeometry.create(
+                out.shape[-2:],
+                scale_factors=[sf if i == d else 1.0 for i in (0, 1)],
+                out_sz=tuple(sz), support=support, antialias=antialiasing)
+            out = fixed_kernel_resize(out, geom, interp_method,
+                                      pad_mode=pad_mode)
+    return out
 
 
 def nearest_warp_mask(in_sz, geom: WarpGeometry, border: int = 4,

@@ -48,3 +48,47 @@ def test_resize_out_shape_spec():
                             out_shape=(40, 23)))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-3)
+
+
+@requires_reference
+@pytest.mark.parametrize("scale", [2.0, 1.5, 0.5, 2.0 / 3.0, 1.25])
+@pytest.mark.parametrize("kernel", ["cubic", "linear"])
+def test_by_convs_matches_reference(scale, kernel):
+    """Our by_convs (per-phase strided correlations) vs the vendored
+    ResizeRight's strided-conv fast path (resize_right.py:221-281)."""
+    torch = pytest.importorskip("torch")  # reference by_convs is torch-only
+    rr = ref_resize_right()
+    from resize_right import interp_methods as im
+
+    rng = np.random.RandomState(3)
+    # torch convention resizes the LAST dims; >=3 dims needed by fw_pad
+    img = rng.rand(3, 20, 24).astype(np.float32)
+    want = rr.resize(torch.from_numpy(img), scale_factors=scale,
+                     interp_method=getattr(im, kernel),
+                     by_convs=True).numpy()
+    got = np.asarray(resize(jnp.asarray(img), scale_factors=scale,
+                            interp_method=kernel, by_convs=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-3)
+
+
+def test_by_convs_matches_gather_path():
+    """by_convs output == generic geometry path for exact rational scales."""
+    rng = np.random.RandomState(4)
+    img = jnp.asarray(rng.rand(3, 17, 21).astype(np.float32))
+    for scale in [2.0, 1.5, 0.5]:
+        a = np.asarray(resize(img, scale_factors=scale, by_convs=True))
+        b = np.asarray(resize(img, scale_factors=scale))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
+
+
+def test_by_convs_irrational_falls_back():
+    """A dim whose scale has no small-fraction form uses the generic path
+    (by_convs demoted per dim — resize_right.py:336-342)."""
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.rand(16, 16).astype(np.float32))
+    s = 1.2345678
+    a = np.asarray(resize(img, scale_factors=[s, 2.0], by_convs=True))
+    b = np.asarray(resize(img, scale_factors=[s, 2.0]))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=5e-3)
