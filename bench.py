@@ -151,13 +151,19 @@ def bench_lut_warp(s1, s2, h, w, scale=SCALE):
     return out_hw[0] * out_hw[1] / 1e6 / dt
 
 
-def bench_net_sr(h, w, scale=SCALE, dtype="float32"):
-    """Micro-net (SRNetsSWF2) serving form — reference weights when present."""
+def bench_net_sr(h, w, scale=SCALE, dtype="float32", backend="auto"):
+    """Micro-net (SRNetsSWF2) serving form — reference weights when present.
+
+    ``backend="auto"`` = the production dispatch (fused Pallas ensemble
+    kernel on TPU, XLA elsewhere — see ops/pallas/srnet_kernel.py).
+    """
     import jax
     import jax.numpy as jnp
     from lerf_tpu.models import srnet
     from lerf_tpu.ops import (ResizeGeometry, steering_gaussian_resize)
 
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     pth = "/root/reference/models/lerf-g/Model_050000.pth"
     try:
         from lerf_tpu.models.convert import load_reference_checkpoint
@@ -172,8 +178,42 @@ def bench_net_sr(h, w, scale=SCALE, dtype="float32"):
     @jax.jit
     def pipeline(img):
         x = img.astype(dt_) / 255.0
-        feat = srnet.predict_stage1(params, x)
-        hyper = srnet.predict_stage2(params, feat / 255.0)
+        feat = srnet.predict_stage1(params, x, backend=backend)
+        hyper = srnet.predict_stage2(params, feat / 255.0, backend=backend)
+        out = steering_gaussian_resize(
+            feat.astype(jnp.float32), hyper[..., 0].astype(jnp.float32),
+            hyper[..., 1].astype(jnp.float32),
+            hyper[..., 2].astype(jnp.float32), geom, max_sigma=10.0)
+        return jnp.clip(jnp.round(out[:, :h, :w]), 0, 255).astype(jnp.int32)
+
+    dt = chain_time(pipeline, rand_img(h, w))
+    return (h * scale) * (w * scale) / 1e6 / dt
+
+
+def bench_imdn_sr(h, w, scale=SCALE, dtype="float32"):
+    """LeRF-Net (IMDN2 conv towers) serving form, random init (no trained
+    IMDN checkpoint ships with the reference snapshot)."""
+    import jax
+    import jax.numpy as jnp
+    from lerf_tpu.models.imdn import IMDN2
+    from lerf_tpu.ops import ResizeGeometry, steering_gaussian_resize
+
+    dt_ = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    model = IMDN2(in_c=3, out_c=3, nf=12, dtype=dt_)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3), dt_), 0)
+    variables = jax.tree.map(lambda x: jnp.asarray(x, dt_), variables)
+    geom = ResizeGeometry.create((h, w), scale_factors=[scale, scale],
+                                 support=2)
+
+    @jax.jit
+    def pipeline(img):
+        nhwc = (img.astype(dt_) / 255.0).transpose(1, 2, 0)[None]
+        feat = model.apply(variables, nhwc, 1)[0].transpose(2, 0, 1)
+        hyper = model.apply(variables, feat[None].transpose(0, 2, 3, 1)
+                            / 255.0, 2)[0]
+        c = 3
+        hyper = hyper.reshape(h, w, 3, c).transpose(3, 0, 1, 2)
         out = steering_gaussian_resize(
             feat.astype(jnp.float32), hyper[..., 0].astype(jnp.float32),
             hyper[..., 1].astype(jnp.float32),
@@ -206,6 +246,11 @@ def main(argv=None):
              bench_net_sr(LR_H, LR_W, dtype="float32"), REF_NUMPY_MPS)
         emit("lerf_g_net_sr_x4_bf16_throughput",
              bench_net_sr(LR_H, LR_W, dtype="bfloat16"), REF_NUMPY_MPS)
+        emit("lerf_g_net_sr_x4_f32_xla_throughput",
+             bench_net_sr(LR_H, LR_W, dtype="float32", backend="xla"),
+             REF_NUMPY_MPS)
+        emit("lerf_net_imdn_sr_x4_bf16_throughput",
+             bench_imdn_sr(LR_H, LR_W, dtype="bfloat16"), REF_NUMPY_MPS)
 
 
 if __name__ == "__main__":

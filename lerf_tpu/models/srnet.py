@@ -173,22 +173,40 @@ def init_lerf_nets(key, *, modes: Sequence[str] = ("s", "c", "t"),
     return {"s1": s1, "s2": s2}
 
 
+def _ensemble_pred(heads, x, members, half, *, backend: str,
+                   interpret: bool = False):
+    """Σ_m round(member_m · half): XLA (differentiable, round_ste) or the
+    fused Pallas VMEM-chain kernel (inference-only — see
+    ops/pallas/srnet_kernel.py; ~5× on chip, BASELINE.md)."""
+    if backend == "pallas":
+        from ..ops.pallas.srnet_kernel import ensemble_sum_on_image
+        dt = heads[0]["w1"].dtype
+        return ensemble_sum_on_image(heads, x, members, half=half,
+                                     compute_dtype=dt, interpret=interpret)
+    outs = ensemble_on_image(lambda i: heads[i], x, members)
+    return jnp.sum(round_ste(outs * half), axis=0)
+
+
 def predict_stage1(params: Dict, x: jnp.ndarray, *,
                    modes: Sequence[str] = ("s", "c", "t"),
-                   stages: int = 2, norm: int = 255) -> jnp.ndarray:
+                   stages: int = 2, norm: int = 255,
+                   backend: str = "xla") -> jnp.ndarray:
     """Feature stage(s): x [..., H, W] in [0,1] → feature in [0,255].
 
     Parity: SRNetsSWF2.predict stage-1 branch (model.py:113-127):
     ``pred += round(rot_back(net(...)) · norm//2)`` over modes × 4 rots, then
     ``clamp(round(pred/len(modes)) + 0, 0, norm)`` for the final feature
     stage (norm divisor 1).  Straight-through rounding throughout.
+
+    ``backend="pallas"`` uses the fused inference kernel (no autodiff);
+    training keeps the default XLA path.
     """
     half = norm // 2
     members = [(m, r) for m in modes for r in range(4)]
     for s in range(stages - 1):
         heads = [params["s1"][f"s{s + 1}_{m}"] for m, _ in members]
-        outs = ensemble_on_image(lambda i: heads[i], x, members)[..., 0]
-        pred = jnp.sum(round_ste(outs * half), axis=0)
+        pred = _ensemble_pred(heads, x, members, half,
+                              backend=backend)[..., 0]
         if s + 1 == stages - 1:
             avg, bias, div = float(len(modes)), 0.0, 1.0
         else:
@@ -199,7 +217,7 @@ def predict_stage1(params: Dict, x: jnp.ndarray, *,
 
 def predict_stage2(params: Dict, x: jnp.ndarray, *,
                    modes2: Sequence[str] = ("s", "c", "t"),
-                   norm: int = 255) -> jnp.ndarray:
+                   norm: int = 255, backend: str = "xla") -> jnp.ndarray:
     """Hyper stage: x [..., H, W] in [0,1] → hyper [..., H, W, outC] in [0,1].
 
     Parity: SRNetsSWF2.predict stage-2 branch (model.py:101-112): r0 heads
@@ -209,16 +227,17 @@ def predict_stage2(params: Dict, x: jnp.ndarray, *,
     half = norm // 2
     members = [(m, r) for m in modes2 for r in range(4)]
     heads = [params["s2"][f"{m}r{r % 2}"] for m, r in members]
-    outs = ensemble_on_image(lambda i: heads[i], x, members)
-    pred = jnp.sum(round_ste(outs * half), axis=0)
+    pred = _ensemble_pred(heads, x, members, half, backend=backend)
     avg = float(len(modes2) * 4)
     return jnp.clip(round_ste(pred / avg + half), 0, norm) / float(norm)
 
 
 def predict(params: Dict, x: jnp.ndarray, stage: int, *,
             modes=("s", "c", "t"), modes2=("s", "c", "t"), stages: int = 2,
-            norm: int = 255):
+            norm: int = 255, backend: str = "xla"):
     """Uniform duck-type predict(x, stage) like the reference model zoo."""
     if stage == 2:
-        return predict_stage2(params, x, modes2=modes2, norm=norm)
-    return predict_stage1(params, x, modes=modes, stages=stages, norm=norm)
+        return predict_stage2(params, x, modes2=modes2, norm=norm,
+                              backend=backend)
+    return predict_stage1(params, x, modes=modes, stages=stages, norm=norm,
+                          backend=backend)

@@ -66,16 +66,25 @@ class NetPredictor:
                     modes2=("s", "c", "t"), stages: int = 2,
                     linear: bool = False, two_stage: bool = True,
                     supp_size: int = 2, max_sigma: float = 10.0,
-                    norm: int = 255):
-        """LeRF-L/G trainable form (SRNetsSWF2 pixel-MLP ensemble)."""
+                    norm: int = 255, backend: str = "auto"):
+        """LeRF-L/G trainable form (SRNetsSWF2 pixel-MLP ensemble).
+
+        ``backend``: "auto" (default) runs the fused Pallas ensemble kernel
+        on TPU (6.4× the XLA chain — BASELINE.md) and the XLA path
+        elsewhere; "xla"/"pallas" force one.  Inference only either way.
+        """
         from .models import srnet
+
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
         def s1(p, x):
             return srnet.predict_stage1(p, x, modes=modes, stages=stages,
-                                        norm=norm)
+                                        norm=norm, backend=backend)
 
         def s2(p, x):
-            return srnet.predict_stage2(p, x, modes2=modes2, norm=norm)
+            return srnet.predict_stage2(p, x, modes2=modes2, norm=norm,
+                                        backend=backend)
 
         return cls(params, s1, s2, linear=linear, two_stage=two_stage,
                    supp_size=supp_size, max_sigma=max_sigma, norm=norm)
