@@ -143,7 +143,8 @@ def bench_lut_warp(s1, s2, h, w, scale=SCALE):
         hyper = lut_stage2(feat, s2, MODES)
         rho, sx, sy = split_gaussian_hyper(hyper)
         out = steering_gaussian_warp(
-            feat.astype(jnp.float32), rho, sx, sy, geom, max_sigma=10.0)
+            feat.astype(jnp.float32), rho, sx, sy, geom, max_sigma=10.0,
+            u8_inputs=True)
         out = jnp.nan_to_num(out, nan=0.0)
         return jnp.clip(jnp.round(out[:, :h, :w]), 0, 255).astype(jnp.int32)
 

@@ -429,33 +429,66 @@ def _warp_dis(geom: WarpGeometry, dtype):
     return dx, dy
 
 
+def _encode_u8(u):
+    """[0,1] map whose values are exact multiples of 1/255 → uint8 codes.
+
+    Exact inverse of ``code/255`` in float32: the ×255 product lands within
+    1 ulp of the integer code, so round() recovers it bit-exactly.
+    """
+    return jnp.round(u * 255.0).astype(jnp.uint8)
+
+
 def steering_gaussian_warp(img, rho, sigma_x, sigma_y, geom: WarpGeometry, *,
                            max_sigma: float = 10.0,
-                           pad_mode: str = "constant"):
+                           pad_mode: str = "constant",
+                           u8_inputs: bool = False):
     """Steerable-Gaussian homographic warp
     (``SteeringGaussianWarp2dNumpy.warp``, resize_right2d_numpy.py:496-577).
 
     Support-2 [C,H,W] inputs (the deploy configuration) take the row-packed
     single-gather path (:func:`_rowpack_warp_gather`); other shapes use the
     generic element gather.
+
+    ``u8_inputs=True``: caller guarantees ``img`` holds integers 0..255 and
+    the hyper maps are exact multiples of 1/255 (true for the LUT and
+    SRNet deploy forms, whose stages emit u8 codes).  The packed gather
+    rows then carry uint8 codes decoded AFTER the gather — bit-identical
+    output (decode/padding commute with the gather's pure selection), but
+    rows shrink 192→48 bytes, and the TPU gather engine's throughput is
+    set by row bytes (≈4× wall-clock on the gather; BASELINE.md
+    "row-bytes sweep").
     """
-    rho, sigma_x, sigma_y = decode_gaussian_hyper(rho, sigma_x, sigma_y,
-                                                  max_sigma)
     if geom.support == 2 and img.ndim == 3:
-        planes = [pad2d(img, geom.pad_x, geom.pad_y, pad_mode)] + [
-            pad2d(p, geom.pad_x, geom.pad_y, "edge")
-            for p in (rho, sigma_x, sigma_y)]
+        if u8_inputs:
+            planes = [pad2d(jnp.round(img).astype(jnp.uint8), geom.pad_x,
+                            geom.pad_y, pad_mode)] + [
+                pad2d(_encode_u8(p), geom.pad_x, geom.pad_y, "edge")
+                for p in (rho, sigma_x, sigma_y)]
+        else:
+            r, sx, sy = decode_gaussian_hyper(rho, sigma_x, sigma_y,
+                                              max_sigma)
+            planes = [pad2d(img, geom.pad_x, geom.pad_y, pad_mode)] + [
+                pad2d(p, geom.pad_x, geom.pad_y, "edge")
+                for p in (r, sx, sy)]
         gathered = _rowpack_warp_gather(planes, geom)
-        dx, dy = _warp_dis_flat(geom, img.dtype)
+        dx, dy = _warp_dis_flat(geom, jnp.float32)
         wn = None
         ws = None
         for b, (s, t) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
             x, r_, sx_, sy_ = gathered[b]
+            if u8_inputs:
+                x = x.astype(jnp.float32)
+                r_, sx_, sy_ = decode_gaussian_hyper(
+                    r_.astype(jnp.float32) / 255.0,
+                    sx_.astype(jnp.float32) / 255.0,
+                    sy_.astype(jnp.float32) / 255.0, max_sigma)
             w = steering_gaussian_weight(r_, sx_, sy_, dx[s], dy[t])
             wn = w * x if wn is None else wn + w * x
             ws = w if ws is None else ws + w
         out = wn / ws                                 # [N, C]
         return out.T.reshape(img.shape[0], *geom.out_sz)
+    rho, sigma_x, sigma_y = decode_gaussian_hyper(rho, sigma_x, sigma_y,
+                                                  max_sigma)
     f_rho = _gather_warp(rho, geom, "edge")
     f_sx = _gather_warp(sigma_x, geom, "edge")
     f_sy = _gather_warp(sigma_y, geom, "edge")
@@ -467,24 +500,35 @@ def steering_gaussian_warp(img, rho, sigma_x, sigma_y, geom: WarpGeometry, *,
 
 def amplified_linear_warp(img, alpha, geom: WarpGeometry, *,
                           max_alpha: float = 1.0,
-                          pad_mode: str = "constant"):
+                          pad_mode: str = "constant",
+                          u8_inputs: bool = False):
     """Amplified-linear homographic warp
     (``AmplifiedLinearWarp2dNumpy.warp``, resize_right2d_numpy.py:579-635).
 
     Support-2 [C,H,W] inputs take the row-packed single-gather path like
-    :func:`steering_gaussian_warp`.
+    :func:`steering_gaussian_warp` (``u8_inputs`` semantics identical).
     """
-    alpha = decode_linear_hyper(alpha, max_alpha)
     if geom.support == 2 and img.ndim == 3:
         n = geom.out_sz[0] * geom.out_sz[1]
-        planes = [pad2d(img, geom.pad_x, geom.pad_y, pad_mode),
-                  pad2d(alpha, geom.pad_x, geom.pad_y, "edge")]
+        if u8_inputs:
+            planes = [pad2d(jnp.round(img).astype(jnp.uint8), geom.pad_x,
+                            geom.pad_y, pad_mode),
+                      pad2d(_encode_u8(alpha), geom.pad_x, geom.pad_y,
+                            "edge")]
+        else:
+            planes = [pad2d(img, geom.pad_x, geom.pad_y, pad_mode),
+                      pad2d(decode_linear_hyper(alpha, max_alpha),
+                            geom.pad_x, geom.pad_y, "edge")]
         gathered = _rowpack_warp_gather(planes, geom)
-        dx, dy = _warp_dis_flat(geom, img.dtype)
+        dx, dy = _warp_dis_flat(geom, jnp.float32)
         wn = None
         ws = None
         for b, (s, t) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
             x, a_ = gathered[b]
+            if u8_inputs:
+                x = x.astype(jnp.float32)
+                a_ = decode_linear_hyper(a_.astype(jnp.float32) / 255.0,
+                                         max_alpha)
             mx = tuple(jnp.asarray(m) for m in
                        _branch_masks(geom.dis_x[..., s].reshape(n, 1)))
             my = tuple(jnp.asarray(m) for m in
@@ -493,6 +537,7 @@ def amplified_linear_warp(img, alpha, geom: WarpGeometry, *,
             wn = w * x if wn is None else wn + w * x
             ws = w if ws is None else ws + w
         return (wn / ws).T.reshape(img.shape[0], *geom.out_sz)
+    alpha = decode_linear_hyper(alpha, max_alpha)
     f_alpha = _gather_warp(alpha, geom, "edge")
     dx64 = geom.dis_x.transpose(2, 0, 1)[:, None]     # [S,1,oh,ow]
     dy64 = geom.dis_y.transpose(2, 0, 1)[None, :]     # [1,S,oh,ow]

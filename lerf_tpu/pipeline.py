@@ -49,7 +49,8 @@ class NetPredictor:
 
     def __init__(self, params, stage1_fn, stage2_fn, *, linear: bool = False,
                  two_stage: bool = True, supp_size: int = 2,
-                 max_sigma: float = 10.0, norm: int = 255):
+                 max_sigma: float = 10.0, norm: int = 255,
+                 hyper_u8: bool = False):
         self.params = params
         self.stage1_fn = stage1_fn
         self.stage2_fn = stage2_fn
@@ -58,6 +59,10 @@ class NetPredictor:
         self.supp_size = supp_size
         self.max_sigma = max_sigma
         self.norm = norm
+        # True when the stages emit integer feat + u8-exact hyper codes
+        # (SRNet forms) — enables the u8 row-packed warp gather.  IMDN
+        # hyper maps are continuous, so the IMDN form keeps float rows.
+        self.hyper_u8 = hyper_u8
         self._resize_cache: Dict = {}
         self._warp_cache: Dict = {}
 
@@ -87,7 +92,8 @@ class NetPredictor:
                                         backend=backend)
 
         return cls(params, s1, s2, linear=linear, two_stage=two_stage,
-                   supp_size=supp_size, max_sigma=max_sigma, norm=norm)
+                   supp_size=supp_size, max_sigma=max_sigma, norm=norm,
+                   hyper_u8=True)
 
     @classmethod
     def from_imdn(cls, model, variables, *, out_c: int = 3,
@@ -174,11 +180,13 @@ class NetPredictor:
             def run(img_f):
                 feat, hyper = self._stages(img_f)
                 if self.linear:
-                    out = amplified_linear_warp(feat, hyper[..., 0], geom)
+                    out = amplified_linear_warp(feat, hyper[..., 0], geom,
+                                                u8_inputs=self.hyper_u8)
                 else:
                     out = steering_gaussian_warp(
                         feat, hyper[..., 0], hyper[..., 1], hyper[..., 2],
-                        geom, max_sigma=self.max_sigma)
+                        geom, max_sigma=self.max_sigma,
+                        u8_inputs=self.hyper_u8)
                 mask = nearest_warp_mask(in_sz, mask_geom, border=4)
                 return out, mask
 
@@ -373,11 +381,13 @@ class LutPredictor:
                 featf = feat.astype(jnp.float32)
                 if self.linear:
                     alpha = hyper[..., 0].astype(jnp.float32) / self.norm
-                    out = amplified_linear_warp(featf, alpha, geom)
+                    out = amplified_linear_warp(featf, alpha, geom,
+                                                u8_inputs=True)
                 else:
                     rho, sx, sy = split_gaussian_hyper(hyper, self.norm)
                     out = steering_gaussian_warp(featf, rho, sx, sy, geom,
-                                                 max_sigma=self.max_sigma)
+                                                 max_sigma=self.max_sigma,
+                                                 u8_inputs=True)
                 mask = nearest_warp_mask(in_sz, mask_geom, border=4)
                 return out, mask, feat, hyper
 

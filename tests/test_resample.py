@@ -244,3 +244,41 @@ def test_rowpack_warp_matches_element_path():
         nan_w, nan_g = np.isnan(a_want), np.isnan(a_got)
         np.testing.assert_array_equal(nan_g, nan_w)
         np.testing.assert_array_equal(a_got[~nan_g], a_want[~nan_w])
+
+
+def test_u8_rowpack_warp_matches_float_path():
+    """u8-code packed rows (decode AFTER the gather) are bit-equal to the
+    float fast path when the inputs are u8-exact: integer feat and hyper
+    maps that are exact multiples of 1/255 — the LUT/SRNet deploy contract.
+    Covers both steering-Gaussian and amplified-linear warps, borders and
+    NaN out-of-view pixels."""
+    from lerf_tpu.ops.geometry import WarpGeometry
+    from lerf_tpu.ops.resample import (amplified_linear_warp,
+                                       steering_gaussian_warp)
+
+    rng = np.random.RandomState(11)
+    mats = [np.linalg.inv(np.asarray([[0.45, 0.02, -0.1],
+                                      [-0.03, 0.55, 0.2],
+                                      [1e-4, -2e-5, 1.0]])),
+            np.asarray([[0.9, 0.15, 5.0], [-0.1, 1.1, -3.0],
+                        [2e-4, 1e-4, 1.0]])]
+    for mat in mats:
+        geom = WarpGeometry.create((22, 31), mat, (45, 60), support=2)
+        img = jnp.asarray(
+            rng.randint(0, 256, (3, 22, 31)).astype(np.float32))
+        hyp = [jnp.asarray(rng.randint(0, 256, (3, 22, 31))
+                           .astype(np.float32) / 255.0) for _ in range(3)]
+
+        want = np.asarray(steering_gaussian_warp(img, *hyp, geom))
+        got = np.asarray(steering_gaussian_warp(img, *hyp, geom,
+                                                u8_inputs=True))
+        nan_w, nan_g = np.isnan(want), np.isnan(got)
+        np.testing.assert_array_equal(nan_g, nan_w)
+        np.testing.assert_array_equal(got[~nan_g], want[~nan_w])
+
+        a_want = np.asarray(amplified_linear_warp(img, hyp[0], geom))
+        a_got = np.asarray(amplified_linear_warp(img, hyp[0], geom,
+                                                 u8_inputs=True))
+        nan_w, nan_g = np.isnan(a_want), np.isnan(a_got)
+        np.testing.assert_array_equal(nan_g, nan_w)
+        np.testing.assert_array_equal(a_got[~nan_g], a_want[~nan_w])

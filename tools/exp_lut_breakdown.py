@@ -67,7 +67,7 @@ def ensemble_variant(img, packed, modes, *, interval=4, do_gather=True,
                 rows = (cell[..., None] +
                         jnp.arange(g["table"].shape[1], dtype=jnp.int32))
             if not do_blend:
-                member = jnp.sum(rows, axis=-1)[..., None]
+                member = jnp.sum(rows, axis=-1)[..., :h, :w, None]
                 out = member if out is None else out + member
                 continue
             for gi, (delta, perm) in enumerate(zip(deltas, perms)):
