@@ -202,12 +202,19 @@ jax.tree_util.register_pytree_node(PackedTables, _packed_flatten,
 
 def build_packed_tables(luts: Dict[str, jnp.ndarray], modes: Sequence[str],
                         *, split_r: bool = False, interval: int = 4,
-                        dtype=None) -> PackedTables:
+                        dtype=None,
+                        max_row_bytes: int = 128) -> PackedTables:
     """Host-side: flat [L⁴, oC] tables → packed rotation-group rows.
 
     ``luts`` keyed like :func:`lut_ensemble`: by mode (``split_r=False``) or
     ``f"{mode}r{0|1}"`` with the r0 table used at rotations 0/2 and r1 at
     1/3 (eval_lut_sr.py:580-619).
+
+    ``max_row_bytes``: rotation groups whose packed row would exceed this
+    are split into sub-groups (extra gathers), because the TPU gather
+    engine's wall-clock is set by row BYTES — rows ≤128 B gather ~4×
+    faster than 192 B rows (BASELINE.md "row-bytes sweep").  Affects only
+    the gather count, never the values (tests/test_packed.py).
     """
     import numpy as np
 
@@ -222,7 +229,7 @@ def build_packed_tables(luts: Dict[str, jnp.ndarray], modes: Sequence[str],
                 key = f"{mode}r{r % 2}" if split_r else mode
                 lut5 = np.asarray(luts[key]).reshape(L, L, L, L, -1)
                 oc = lut5.shape[-1]
-                dt = dtype or lut5.dtype
+                dt = np.dtype(dtype or lut5.dtype)
                 member = np.empty((B, B, B, B, oc, 16), dt)
                 # inv[m] = which role axis holds canonical coordinate m
                 inv = [perm.index(m) for m in range(4)]
@@ -232,12 +239,16 @@ def build_packed_tables(luts: Dict[str, jnp.ndarray], modes: Sequence[str],
                                for k in range(4))
                     member[..., bits] = np.transpose(lut5[sl], inv + [4])
                 parts.append(member.reshape(B ** 4, oc * 16))
-            table = np.concatenate(parts, axis=1)
-            out[mode].append({"table": jnp.asarray(table), "oc": oc,
-                              "rots": tuple(g["rots"]),
-                              "canon": g["canon"],
-                              "deltas": tuple(g["deltas"]),
-                              "perms": tuple(g["perms"])})
+            per_member = oc * 16 * dt.itemsize
+            chunk = max(1, max_row_bytes // per_member)
+            for lo in range(0, len(parts), chunk):
+                hi = lo + chunk
+                table = np.concatenate(parts[lo:hi], axis=1)
+                out[mode].append({"table": jnp.asarray(table), "oc": oc,
+                                  "rots": tuple(g["rots"][lo:hi]),
+                                  "canon": g["canon"],
+                                  "deltas": tuple(g["deltas"][lo:hi]),
+                                  "perms": tuple(g["perms"][lo:hi])})
     return PackedTables(groups=out, interval=interval)
 
 
@@ -316,8 +327,40 @@ def lut_ensemble(img: jnp.ndarray, luts: Dict[str, jnp.ndarray],
     return jnp.sum(s, axis=0)
 
 
+# The gather engine's row-issue rate degrades once a single gather exceeds
+# ~0.7M rows (~190 → ~120M rows/s at 2.8M rows — BASELINE.md "gather-issue
+# bound"), so large inputs run the stage ensembles in horizontal bands.
+# Each band carries a MAX_PAD halo of REAL pixels, so banding is bit-exact:
+# every sample offset is ≤ MAX_PAD, and at true image borders the band's
+# edge-pad equals the full image's (tests/test_packed.py).
+BAND_TARGET_ROWS = 768 * 1024
+
+
+def _banded_rows(img: jnp.ndarray, fn, out_tail_dims: int,
+                 target: int = BAND_TARGET_ROWS):
+    """Run ``fn`` (a stage ensemble) over row bands of ``img`` with halo."""
+    h, w = img.shape[-2:]
+    lead = 1
+    for d in img.shape[:-2]:
+        lead *= d
+    band_h = max(1, target // max(lead * w, 1))
+    if band_h >= h:
+        return fn(img)
+    ax = -2 - out_tail_dims
+    outs = []
+    for r0 in range(0, h, band_h):
+        r1 = min(r0 + band_h, h)
+        lo, hi = max(r0 - MAX_PAD, 0), min(r1 + MAX_PAD, h)
+        part = fn(img[..., lo:hi, :])
+        sl = [slice(None)] * part.ndim
+        sl[ax] = slice(r0 - lo, r0 - lo + (r1 - r0))
+        outs.append(part[tuple(sl)])
+    return jnp.concatenate(outs, axis=ax)
+
+
 def lut_stage1(img: jnp.ndarray, luts_s1: Dict[str, jnp.ndarray],
-               modes: Sequence[str], *, interval: int = 4, norm: int = 255):
+               modes: Sequence[str], *, interval: int = 4, norm: int = 255,
+               band_target: int = BAND_TARGET_ROWS):
     """Feature ("pre-filter") stage: int 0..255 image -> int 0..255 feature.
 
     feat = round_half_even(clip(Σ/(len(modes)·q), 0, 255)) — the reference's
@@ -325,24 +368,34 @@ def lut_stage1(img: jnp.ndarray, luts_s1: Dict[str, jnp.ndarray],
     (eval_lut_sr.py:565-577).
     """
     q = 1 << interval
-    pred = lut_ensemble(img, luts_s1, modes, interval=interval)[..., 0]
+
+    def run(part):
+        return lut_ensemble(part, luts_s1, modes, interval=interval)[..., 0]
+
+    pred = _banded_rows(img, run, 0, band_target)
     den = len(modes) * q
     num = jnp.clip(pred, 0, norm * den)
     return round_half_even_div(num, den)
 
 
-def lut_stage1_intermediate(img, luts_s1, modes, *, interval=4, norm=255):
+def lut_stage1_intermediate(img, luts_s1, modes, *, interval=4, norm=255,
+                            band_target: int = BAND_TARGET_ROWS):
     """Non-final feature stage (stages > 2): avg len(modes)·4, bias norm//2
     (eval_lut_sr.py:566-572)."""
     q = 1 << interval
-    pred = lut_ensemble(img, luts_s1, modes, interval=interval)[..., 0]
+
+    def run(part):
+        return lut_ensemble(part, luts_s1, modes, interval=interval)[..., 0]
+
+    pred = _banded_rows(img, run, 0, band_target)
     den = len(modes) * 4 * q
     num = jnp.clip(pred + (norm // 2) * den, 0, norm * den)
     return round_half_even_div(num, den)
 
 
 def lut_stage2(img: jnp.ndarray, luts_s2: Dict[str, jnp.ndarray],
-               modes2: Sequence[str], *, interval: int = 4, norm: int = 255):
+               modes2: Sequence[str], *, interval: int = 4, norm: int = 255,
+               band_target: int = BAND_TARGET_ROWS):
     """Hyper stage: int 0..255 feature -> int 0..255 hyper codes, [...,H,W,oC].
 
     hyper_u8 = round_half_even(clip(Σ/(len(modes2)·4·q) + norm//2, 0, norm))
@@ -350,7 +403,12 @@ def lut_stage2(img: jnp.ndarray, luts_s2: Dict[str, jnp.ndarray],
     hyper maps.
     """
     q = 1 << interval
-    pred = lut_ensemble(img, luts_s2, modes2, interval=interval, split_r=True)
+
+    def run(part):
+        return lut_ensemble(part, luts_s2, modes2, interval=interval,
+                            split_r=True)
+
+    pred = _banded_rows(img, run, 1, band_target)
     den = len(modes2) * 4 * q
     num = jnp.clip(pred + (norm // 2) * den, 0, norm * den)
     return round_half_even_div(num, den)

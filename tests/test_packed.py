@@ -75,3 +75,32 @@ def test_packed_stages_bit_exact():
     hyper_want = np.asarray(lut_stage2(feat, s2, ("s", "c", "t")))
     got = np.asarray(lut_stage2(feat, p2, ("s", "c", "t")))
     np.testing.assert_array_equal(got, hyper_want)
+
+
+def test_banded_stages_bit_exact():
+    """Row-banded stage execution (large-input gather-rate fix) is
+    bit-identical to unbanded: each band carries a MAX_PAD halo of real
+    pixels, and at true borders the band's edge-pad equals the image's."""
+    import numpy as np
+
+    from lerf_tpu.ops.lut_pipeline import (build_packed_tables, lut_stage1,
+                                           lut_stage2)
+
+    rng = np.random.RandomState(3)
+    L4 = 17 ** 4
+    modes = ("s", "c", "t")
+    s1 = build_packed_tables(
+        {m: rng.randint(-127, 128, (L4, 1)).astype(np.int8) for m in modes},
+        modes)
+    s2 = build_packed_tables(
+        {f"{m}r{r}": rng.randint(-127, 128, (L4, 3)).astype(np.int8)
+         for m in modes for r in (0, 1)}, modes, split_r=True)
+    img = jnp.asarray(rng.randint(0, 256, (3, 23, 31)).astype(np.int32))
+
+    for bt in (31 * 3 * 4, 31 * 3 * 7, 31 * 3):       # 4-row, 7-row, 1-row
+        f_ref = lut_stage1(img, s1, modes, band_target=10 ** 9)
+        f_got = lut_stage1(img, s1, modes, band_target=bt)
+        np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(f_got))
+        h_ref = lut_stage2(f_ref, s2, modes, band_target=10 ** 9)
+        h_got = lut_stage2(f_ref, s2, modes, band_target=bt)
+        np.testing.assert_array_equal(np.asarray(h_ref), np.asarray(h_got))
