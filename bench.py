@@ -152,7 +152,8 @@ def bench_lut_warp(s1, s2, h, w, scale=SCALE):
     return out_hw[0] * out_hw[1] / 1e6 / dt
 
 
-def bench_net_sr(h, w, scale=SCALE, dtype="float32", backend="auto"):
+def bench_net_sr(h, w, scale=SCALE, dtype="float32", backend="auto",
+                 batch=None):
     """Micro-net (SRNetsSWF2) serving form — reference weights when present.
 
     ``backend="auto"`` = the production dispatch (fused Pallas ensemble
@@ -185,10 +186,15 @@ def bench_net_sr(h, w, scale=SCALE, dtype="float32", backend="auto"):
             feat.astype(jnp.float32), hyper[..., 0].astype(jnp.float32),
             hyper[..., 1].astype(jnp.float32),
             hyper[..., 2].astype(jnp.float32), geom, max_sigma=10.0)
-        return jnp.clip(jnp.round(out[:, :h, :w]), 0, 255).astype(jnp.int32)
+        return jnp.clip(jnp.round(out[..., :h, :w]),
+                        0, 255).astype(jnp.int32)
 
-    dt = chain_time(pipeline, rand_img(h, w))
-    return (h * scale) * (w * scale) / 1e6 / dt
+    img0 = rand_img(h, w)
+    if batch:
+        img0 = jnp.stack([img0] * batch) + jnp.arange(
+            batch, dtype=img0.dtype)[:, None, None, None] % 7
+    dt = chain_time(pipeline, img0)
+    return (batch or 1) * (h * scale) * (w * scale) / 1e6 / dt
 
 
 def bench_imdn_sr(h, w, scale=SCALE, dtype="float32"):
@@ -252,6 +258,9 @@ def main(argv=None):
              REF_NUMPY_MPS)
         emit("lerf_net_imdn_sr_x4_bf16_throughput",
              bench_imdn_sr(LR_H, LR_W, dtype="bfloat16"), REF_NUMPY_MPS)
+        emit("lerf_g_net_sr_x4_bf16_batch4_throughput",
+             bench_net_sr(LR_H, LR_W, dtype="bfloat16", batch=4),
+             REF_NUMPY_MPS)
 
 
 if __name__ == "__main__":
