@@ -170,6 +170,65 @@ def _slab_gather_rows(xp, e: np.ndarray, q: int, n_eff: int, axis: int):
     return jnp.concatenate(blocks, axis=pos)
 
 
+def _periodic_pair(geom: ResizeGeometry):
+    """(p,q,e) for both axes when BOTH are periodic, else None."""
+    px = _periodic_fov(geom.fov_x, geom.out_sz[0], geom.scale[0])
+    if px is None:
+        return None
+    py = _periodic_fov(geom.fov_y, geom.out_sz[1], geom.scale[1])
+    if py is None:
+        return None
+    return px, py
+
+
+def _expand_block(a, s: int, t: int, px, py, out_sz):
+    """One (s,t) support block of the periodic neighbor expansion,
+    output-sized [..., oh, ow] — never materializes the S²-expanded
+    lattice (4× output each for neighbors + 3 hyper maps), which dominates
+    the resize runtime at 4K (34.9 → 14.5 ms; BASELINE.md)."""
+    p_x, q_x, e_x = px
+    p_y, q_y, e_y = py
+    rows = _slab_gather_rows(a, e_x[:, [s]], q_x, out_sz[0] // p_x, -2)
+    return _slab_gather_rows(rows, e_y[:, [t]], q_y, out_sz[1] // p_y, -1)
+
+
+def _per_block_reduce(xp, hyper_padded, geom: ResizeGeometry, weight_fn,
+                      pp, normalize: bool = True):
+    """Σ_{s,t} w·n / Σ w with per-(s,t) output-sized expansions.
+
+    ``weight_fn(s, t, hypers_st)`` → weight block [..., oh, ow]; summation
+    order (s-major, t-minor) matches ``_block_sums``, so results are
+    bit-identical to the S²-lattice path (tests/test_resample.py).
+    """
+    px, py = pp
+    wn = None
+    ws = None
+    for s in range(geom.support):
+        for t in range(geom.support):
+            hy = [_expand_block(h, s, t, px, py, geom.out_sz)
+                  for h in hyper_padded]
+            w = weight_fn(s, t, hy)
+            n = _expand_block(xp, s, t, px, py, geom.out_sz)
+            wn = w * n if wn is None else wn + w * n
+            ws = w if ws is None else ws + w
+    if not normalize:
+        return wn
+    return wn / ws
+
+
+def _dis_block(geom: ResizeGeometry, s: int, t: int, m64=1.0):
+    """Per-support distance rows/cols (host float64): [oh, 1] and [1, ow].
+
+    ``m64`` scales in float64 — use ONLY where the host path does (the
+    amplified-linear branch masks); the Gaussian antialias scale happens
+    in jnp to keep bit-parity with the lattice path's ``m * dx``.
+    """
+    S = geom.support
+    dx = (m64 * geom.dis_x.T.reshape(S, geom.out_sz[0])[s])[:, None]
+    dy = (m64 * geom.dis_y.T.reshape(S, geom.out_sz[1])[t])[None, :]
+    return dx, dy
+
+
 def _gather_resize(x: jnp.ndarray, geom: ResizeGeometry, mode: str):
     """Separable neighbor gather -> [..., S·outH, S·outW] in support-major
     block layout: element (s·outH+i, t·outW+j) is neighbor (s, t) of output
@@ -251,6 +310,23 @@ def steering_gaussian_resize(img, rho, sigma_x, sigma_y,
     """
     rho, sigma_x, sigma_y = decode_gaussian_hyper(rho, sigma_x, sigma_y,
                                                   max_sigma)
+    pp = _periodic_pair(geom)
+    if pp is not None:
+        mj = jnp.asarray(geom.min_scale, img.dtype)
+        xp = pad2d(img, geom.pad_x, geom.pad_y, pad_mode)
+        hyp = [pad2d(h, geom.pad_x, geom.pad_y, "edge")
+               for h in (rho, sigma_x, sigma_y)]
+
+        def weight_fn(s, t, hy):
+            dx64, dy64 = _dis_block(geom, s, t)
+            dx = jnp.asarray(dx64, img.dtype)
+            dy = jnp.asarray(dy64, img.dtype)
+            if geom.antialias:
+                return mj * steering_gaussian_weight(hy[0], hy[1], hy[2],
+                                                     mj * dx, mj * dy)
+            return steering_gaussian_weight(hy[0], hy[1], hy[2], dx, dy)
+
+        return _per_block_reduce(xp, hyp, geom, weight_fn, pp)
     f_rho = _gather_resize(rho, geom, "edge")
     f_sx = _gather_resize(sigma_x, geom, "edge")
     f_sy = _gather_resize(sigma_y, geom, "edge")
@@ -271,8 +347,24 @@ def amplified_linear_resize(img, alpha, geom: ResizeGeometry, *,
     """LeRF-L op: amplified-linear resize
     (``AmplifiedLinearResize2dNumpy.resize``, resize_right2d_numpy.py:243-282)."""
     alpha = decode_linear_hyper(alpha, max_alpha)
-    f_alpha = _gather_resize(alpha, geom, "edge")
     m64 = geom.min_scale if geom.antialias else 1.0
+    pp = _periodic_pair(geom)
+    if pp is not None:
+        xp = pad2d(img, geom.pad_x, geom.pad_y, pad_mode)
+        ap = pad2d(alpha, geom.pad_x, geom.pad_y, "edge")
+
+        def weight_fn(s, t, hy):
+            dx64, dy64 = _dis_block(geom, s, t, m64)
+            mx = tuple(jnp.asarray(m) for m in _branch_masks(dx64))
+            my = tuple(jnp.asarray(m) for m in _branch_masks(dy64))
+            w = amplified_linear_weight(hy[0], jnp.asarray(dx64, img.dtype),
+                                        jnp.asarray(dy64, img.dtype), mx, my)
+            if geom.antialias:
+                w = jnp.asarray(geom.min_scale, img.dtype) * w
+            return w
+
+        return _per_block_reduce(xp, [ap], geom, weight_fn, pp)
+    f_alpha = _gather_resize(alpha, geom, "edge")
     dx64 = (m64 * geom.dis_x.T.reshape(-1))[:, None]
     dy64 = (m64 * geom.dis_y.T.reshape(-1))[None, :]
     masks_x = tuple(jnp.asarray(a) for a in _branch_masks(dx64))
@@ -300,6 +392,20 @@ def fixed_kernel_resize(img, geom: ResizeGeometry, kernel: str = "cubic", *,
     wy = kern1d(m64 * geom.dis_y.T.reshape(-1))
     if geom.antialias:
         wx = m64 * wx
+    pp = _periodic_pair(geom)
+    if pp is not None:
+        oh, ow = geom.out_sz
+        xp = pad2d(img, geom.pad_x, geom.pad_y, pad_mode)
+        wxS = wx.reshape(geom.support, oh)
+        wyS = wy.reshape(geom.support, ow)
+
+        def weight_fn(s, t, hy):
+            return (jnp.asarray(wxS[s], img.dtype)[:, None]
+                    * jnp.asarray(wyS[t], img.dtype)[None, :])
+
+        return _per_block_reduce(
+            xp, [], geom, weight_fn, pp,
+            normalize=normalize and geom.support != 1)
     weights = (jnp.asarray(wx, img.dtype)[:, None]
                * jnp.asarray(wy, img.dtype)[None, :])
     weights = jnp.broadcast_to(weights,
