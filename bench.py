@@ -141,10 +141,9 @@ def bench_lut_warp(s1, s2, h, w, scale=SCALE):
     def pipeline(img_i32):
         feat = lut_stage1(img_i32, s1, MODES)
         hyper = lut_stage2(feat, s2, MODES)
-        rho, sx, sy = split_gaussian_hyper(hyper)
         out = steering_gaussian_warp(
-            feat.astype(jnp.float32), rho, sx, sy, geom, max_sigma=10.0,
-            u8_inputs=True)
+            feat, hyper[..., 0], hyper[..., 1], hyper[..., 2], geom,
+            max_sigma=10.0, u8_inputs=True)
         out = jnp.nan_to_num(out, nan=0.0)
         return jnp.clip(jnp.round(out[:, :h, :w]), 0, 255).astype(jnp.int32)
 
@@ -164,8 +163,7 @@ def bench_net_sr(h, w, scale=SCALE, dtype="float32", backend="auto",
     from lerf_tpu.models import srnet
     from lerf_tpu.ops import (ResizeGeometry, steering_gaussian_resize)
 
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    backend = srnet.resolve_backend(backend)
     pth = "/root/reference/models/lerf-g/Model_050000.pth"
     try:
         from lerf_tpu.models.convert import load_reference_checkpoint
@@ -191,8 +189,8 @@ def bench_net_sr(h, w, scale=SCALE, dtype="float32", backend="auto",
 
     img0 = rand_img(h, w)
     if batch:
-        img0 = jnp.stack([img0] * batch) + jnp.arange(
-            batch, dtype=img0.dtype)[:, None, None, None] % 7
+        img0 = (jnp.stack([img0] * batch) + jnp.arange(
+            batch, dtype=img0.dtype)[:, None, None, None]) % 256
     dt = chain_time(pipeline, img0)
     return (batch or 1) * (h * scale) * (w * scale) / 1e6 / dt
 

@@ -173,6 +173,17 @@ def init_lerf_nets(key, *, modes: Sequence[str] = ("s", "c", "t"),
     return {"s1": s1, "s2": s2}
 
 
+def resolve_backend(backend: str) -> str:
+    """"auto" → the fused Pallas ensemble kernel on TPU, XLA elsewhere.
+
+    One resolver shared by every dispatch site (NetPredictor, bench) so
+    production and benchmark always pick the same implementation.
+    """
+    if backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return backend
+
+
 def _ensemble_pred(heads, x, members, half, *, backend: str,
                    interpret: bool = False):
     """Σ_m round(member_m · half): XLA (differentiable, round_ste) or the

@@ -540,7 +540,11 @@ def _encode_u8(u):
 
     Exact inverse of ``code/255`` in float32: the ×255 product lands within
     1 ulp of the integer code, so round() recovers it bit-exactly.
+    Integer inputs are taken as the codes themselves (callers holding the
+    raw stage-2 output skip the float round-trip entirely).
     """
+    if jnp.issubdtype(u.dtype, jnp.integer):
+        return u.astype(jnp.uint8)
     return jnp.round(u * 255.0).astype(jnp.uint8)
 
 
@@ -566,7 +570,9 @@ def steering_gaussian_warp(img, rho, sigma_x, sigma_y, geom: WarpGeometry, *,
     """
     if geom.support == 2 and img.ndim == 3:
         if u8_inputs:
-            planes = [pad2d(jnp.round(img).astype(jnp.uint8), geom.pad_x,
+            img_u8 = img if jnp.issubdtype(img.dtype, jnp.integer) \
+                else jnp.round(img)
+            planes = [pad2d(img_u8.astype(jnp.uint8), geom.pad_x,
                             geom.pad_y, pad_mode)] + [
                 pad2d(_encode_u8(p), geom.pad_x, geom.pad_y, "edge")
                 for p in (rho, sigma_x, sigma_y)]
@@ -577,7 +583,8 @@ def steering_gaussian_warp(img, rho, sigma_x, sigma_y, geom: WarpGeometry, *,
                 pad2d(p, geom.pad_x, geom.pad_y, "edge")
                 for p in (r, sx, sy)]
         gathered = _rowpack_warp_gather(planes, geom)
-        dx, dy = _warp_dis_flat(geom, jnp.float32)
+        dx, dy = _warp_dis_flat(
+            geom, jnp.float32 if u8_inputs else img.dtype)
         wn = None
         ws = None
         for b, (s, t) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
@@ -617,7 +624,9 @@ def amplified_linear_warp(img, alpha, geom: WarpGeometry, *,
     if geom.support == 2 and img.ndim == 3:
         n = geom.out_sz[0] * geom.out_sz[1]
         if u8_inputs:
-            planes = [pad2d(jnp.round(img).astype(jnp.uint8), geom.pad_x,
+            img_u8 = img if jnp.issubdtype(img.dtype, jnp.integer) \
+                else jnp.round(img)
+            planes = [pad2d(img_u8.astype(jnp.uint8), geom.pad_x,
                             geom.pad_y, pad_mode),
                       pad2d(_encode_u8(alpha), geom.pad_x, geom.pad_y,
                             "edge")]
@@ -626,7 +635,8 @@ def amplified_linear_warp(img, alpha, geom: WarpGeometry, *,
                       pad2d(decode_linear_hyper(alpha, max_alpha),
                             geom.pad_x, geom.pad_y, "edge")]
         gathered = _rowpack_warp_gather(planes, geom)
-        dx, dy = _warp_dis_flat(geom, jnp.float32)
+        dx, dy = _warp_dis_flat(
+            geom, jnp.float32 if u8_inputs else img.dtype)
         wn = None
         ws = None
         for b, (s, t) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):

@@ -80,8 +80,7 @@ class NetPredictor:
         """
         from .models import srnet
 
-        if backend == "auto":
-            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        backend = srnet.resolve_backend(backend)
 
         def s1(p, x):
             return srnet.predict_stage1(p, x, modes=modes, stages=stages,
@@ -91,9 +90,10 @@ class NetPredictor:
             return srnet.predict_stage2(p, x, modes2=modes2, norm=norm,
                                         backend=backend)
 
+        # u8 warp rows require codes that are exact multiples of 1/255
         return cls(params, s1, s2, linear=linear, two_stage=two_stage,
                    supp_size=supp_size, max_sigma=max_sigma, norm=norm,
-                   hyper_u8=True)
+                   hyper_u8=(norm == 255))
 
     @classmethod
     def from_imdn(cls, model, variables, *, out_c: int = 3,
@@ -375,19 +375,29 @@ class LutPredictor:
         key = (in_sz, matrix_key, geom.out_sz)
         if key not in self._warp_cache:
 
+            # norm==255 ⇒ the u8 row-packed gather applies; the stage
+            # outputs ARE the u8 codes, so they pass through as integers
+            # (decoded after the gather — no float round-trip).
+            u8 = self.norm == 255
+
             @jax.jit
             def run(img_i32):
                 feat, hyper = self._stages_fn(img_i32)
-                featf = feat.astype(jnp.float32)
+                featf = feat if u8 else feat.astype(jnp.float32)
                 if self.linear:
-                    alpha = hyper[..., 0].astype(jnp.float32) / self.norm
+                    alpha = hyper[..., 0] if u8 else \
+                        hyper[..., 0].astype(jnp.float32) / self.norm
                     out = amplified_linear_warp(featf, alpha, geom,
-                                                u8_inputs=True)
+                                                u8_inputs=u8)
                 else:
-                    rho, sx, sy = split_gaussian_hyper(hyper, self.norm)
+                    if u8:
+                        rho, sx, sy = (hyper[..., 0], hyper[..., 1],
+                                       hyper[..., 2])
+                    else:
+                        rho, sx, sy = split_gaussian_hyper(hyper, self.norm)
                     out = steering_gaussian_warp(featf, rho, sx, sy, geom,
                                                  max_sigma=self.max_sigma,
-                                                 u8_inputs=True)
+                                                 u8_inputs=u8)
                 mask = nearest_warp_mask(in_sz, mask_geom, border=4)
                 return out, mask, feat, hyper
 

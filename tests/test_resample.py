@@ -311,3 +311,34 @@ def test_per_block_periodic_resize_matches_lattice_path(monkeypatch):
         np.testing.assert_array_equal(want_g, got_g)
         np.testing.assert_array_equal(want_a, got_a)
         np.testing.assert_array_equal(want_f, got_f)
+
+
+def test_u8_warp_accepts_integer_codes():
+    """The u8 fast path takes raw integer codes (the stage-2 output)
+    directly — no float decode/re-encode round-trip — and matches the
+    float-map call exactly; non-u8 fast path preserves the input dtype."""
+    from lerf_tpu.ops.geometry import WarpGeometry
+    from lerf_tpu.ops.resample import steering_gaussian_warp
+
+    rng = np.random.RandomState(13)
+    mat = np.asarray([[0.9, 0.15, 5.0], [-0.1, 1.1, -3.0],
+                      [2e-4, 1e-4, 1.0]])
+    geom = WarpGeometry.create((22, 31), mat, (45, 60), support=2)
+    feat_i = rng.randint(0, 256, (3, 22, 31))
+    codes = [rng.randint(0, 256, (3, 22, 31)) for _ in range(3)]
+
+    a = np.asarray(steering_gaussian_warp(
+        jnp.asarray(feat_i.astype(np.float32)),
+        *(jnp.asarray(c.astype(np.float32) / 255.0) for c in codes),
+        geom, u8_inputs=True))
+    b = np.asarray(steering_gaussian_warp(
+        jnp.asarray(feat_i.astype(np.int32)),
+        *(jnp.asarray(c.astype(np.int32)) for c in codes),
+        geom, u8_inputs=True))
+    np.testing.assert_array_equal(np.nan_to_num(a), np.nan_to_num(b))
+
+    # dtype preservation on the float fast path
+    out = steering_gaussian_warp(
+        jnp.asarray(feat_i.astype(np.float32)),
+        *(jnp.asarray(c.astype(np.float32) / 255.0) for c in codes), geom)
+    assert out.dtype == jnp.float32
