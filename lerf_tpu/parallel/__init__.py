@@ -10,6 +10,8 @@ from .mesh import (
     shard_batch,
 )
 from .spatial import (
+    lut_stages_sharded,
+    sharded_lut_sr_pipeline,
     steering_gaussian_resize_sharded,
     steering_gaussian_warp_sharded,
 )
@@ -17,4 +19,5 @@ from .spatial import (
 __all__ = ["DATA_AXIS", "make_mesh", "batch_sharding", "replicated",
            "shard_batch", "replicate",
            "steering_gaussian_resize_sharded",
-           "steering_gaussian_warp_sharded"]
+           "steering_gaussian_warp_sharded",
+           "lut_stages_sharded", "sharded_lut_sr_pipeline"]

@@ -162,3 +162,85 @@ def steering_gaussian_warp_sharded(img, rho, sigma_x, sigma_y, geom, mesh, *,
         out_specs=P(*([None] * (img.ndim - 2) + [axis, None])))
     out = shardmapped(xpad, rhop, sxp, syp, lin, dx, dy)
     return out[..., :oh, :]
+
+
+# ---------------------------------------------------------------------------
+# full sharded SR pipeline: input-row-sharded stages + row-sharded resize
+# ---------------------------------------------------------------------------
+
+
+def lut_stages_sharded(img, tables1, tables2, modes, mesh, *,
+                       axis: str = DATA_AXIS, interval: int = 4,
+                       norm: int = 255):
+    """Input-row-sharded LUT stage ensembles.
+
+    The stages are the dominant deploy cost and scale with INPUT pixels, so
+    each device computes the ensembles for its band of input rows.  The
+    input is replicated (it is small — for upscaling the output dwarfs it),
+    so the band + halo is a local dynamic slice: no explicit communication
+    at all.  The halo is ``MAX_PAD`` per chained stage (3 rows for stage 1's
+    sampling + 3 more so every feat row that stage 2 samples is exact);
+    at true image borders the band edge-pad equals the full image's, so the
+    sharded result is BIT-IDENTICAL to single-device
+    (tests/test_spatial.py::test_sharded_lut_stages_bit_exact).
+
+    Returns (feat, hyper) row-sharded over ``mesh`` (cropped to H).
+    """
+    from ..ops.lut_pipeline import MAX_PAD, lut_stage1, lut_stage2
+
+    n = mesh.devices.size
+    h, w = img.shape[-2:]
+    hp = -(-h // n) * n
+    if hp != h:
+        cfg = [(0, 0)] * (img.ndim - 2) + [(0, hp - h), (0, 0)]
+        img = jnp.pad(img, cfg, mode="edge")
+    rows = hp // n
+    halo = 2 * MAX_PAD
+    band = min(rows + 2 * halo, hp)
+
+    def local(img_rep, t1, t2):
+        i = jax.lax.axis_index(axis)
+        r0 = i * rows
+        lo = jnp.clip(r0 - halo, 0, hp - band)
+        sl = jax.lax.dynamic_slice_in_dim(img_rep, lo, band, axis=-2)
+        feat_b = lut_stage1(sl, t1, modes, interval=interval, norm=norm)
+        # Rows past the true image bottom must replicate feat(h-1): the
+        # reference pads BETWEEN the stages, and feat of an edge-padded
+        # image is not the edge-pad of feat (one-level padding commutes
+        # with the ensemble, two chained levels do not).
+        idx = jnp.minimum(jnp.arange(band), h - 1 - lo)
+        feat_b = jnp.take(feat_b, idx, axis=-2)
+        hyper_b = lut_stage2(feat_b, t2, modes, interval=interval, norm=norm)
+        off = r0 - lo
+        feat = jax.lax.dynamic_slice_in_dim(feat_b, off, rows, axis=-2)
+        hyper = jax.lax.dynamic_slice_in_dim(hyper_b, off, rows, axis=-3)
+        return feat, hyper
+
+    row_spec = [None] * img.ndim
+    row_spec[-2] = axis
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(*row_spec), P(*(row_spec + [None]))))
+    feat, hyper = fn(img, tables1, tables2)
+    return feat[..., :h, :], hyper[..., :h, :, :]
+
+
+def sharded_lut_sr_pipeline(img, tables1, tables2, modes,
+                            geom: ResizeGeometry, mesh, *,
+                            max_sigma: float = 10.0, norm: int = 255,
+                            interval: int = 4, axis: str = DATA_AXIS):
+    """Complete multi-chip LeRF-G SR: row-sharded stage ensembles →
+    row-sharded steerable resize.  The only collective is the all-gather of
+    the (input-sized) feat/hyper slabs that XLA inserts to satisfy the
+    resize's replicated-source spec — a tiny transfer next to the sharded
+    output writes.  Output rows are sharded over ``mesh``; callers crop to
+    ``geom.out_sz``."""
+    from ..ops.lut_pipeline import split_gaussian_hyper
+
+    feat, hyper = lut_stages_sharded(img, tables1, tables2, modes, mesh,
+                                     axis=axis, interval=interval, norm=norm)
+    rho, sx, sy = split_gaussian_hyper(hyper, norm)
+    return steering_gaussian_resize_sharded(
+        feat.astype(jnp.float32), rho, sx, sy, geom, mesh,
+        max_sigma=max_sigma, axis=axis)

@@ -54,3 +54,48 @@ def test_sharded_warp_matches_unsharded():
     np.testing.assert_array_equal(nan_g, nan_w)
     np.testing.assert_allclose(got[~nan_g], want[~nan_w], rtol=1e-6,
                                atol=1e-4)
+
+
+def test_sharded_lut_stages_bit_exact():
+    """Full sharded SR pipeline (row-sharded stages + row-sharded resize)
+    matches the single-device pipeline bit-for-bit, divisible and
+    non-divisible input heights."""
+    import numpy as np
+
+    from lerf_tpu.ops.lut_pipeline import (build_packed_tables, lut_stage1,
+                                           lut_stage2, split_gaussian_hyper)
+    from lerf_tpu.ops import ResizeGeometry, steering_gaussian_resize
+    from lerf_tpu.parallel import (lut_stages_sharded, make_mesh,
+                                   sharded_lut_sr_pipeline)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(7)
+    L4 = 17 ** 4
+    modes = ("s", "c", "t")
+    s1 = build_packed_tables(
+        {m: rng.randint(-127, 128, (L4, 1)).astype(np.int8) for m in modes},
+        modes)
+    s2 = build_packed_tables(
+        {f"{m}r{r}": rng.randint(-127, 128, (L4, 3)).astype(np.int8)
+         for m in modes for r in (0, 1)}, modes, split_r=True)
+
+    for h in (32, 29):                      # divisible and non-divisible
+        img = jnp.asarray(rng.randint(0, 256, (3, h, 24)).astype(np.int32))
+        feat_ref = lut_stage1(img, s1, modes)
+        hyper_ref = lut_stage2(feat_ref, s2, modes)
+        feat, hyper = lut_stages_sharded(img, s1, s2, modes, mesh)
+        np.testing.assert_array_equal(np.asarray(feat_ref), np.asarray(feat))
+        np.testing.assert_array_equal(np.asarray(hyper_ref),
+                                      np.asarray(hyper))
+
+        geom = ResizeGeometry.create((h, 24), scale_factors=[2, 2],
+                                     support=2)
+        rho, sx, sy = split_gaussian_hyper(hyper_ref)
+        want = np.asarray(steering_gaussian_resize(
+            feat_ref.astype(jnp.float32), rho, sx, sy, geom,
+            max_sigma=10.0))
+        got = np.asarray(sharded_lut_sr_pipeline(img, s1, s2, modes, geom,
+                                                 mesh))
+        np.testing.assert_array_equal(want, got)
