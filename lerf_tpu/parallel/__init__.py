@@ -12,6 +12,7 @@ from .mesh import (
 from .spatial import (
     lut_stages_sharded,
     sharded_lut_sr_pipeline,
+    sharded_lut_warp_pipeline,
     steering_gaussian_resize_sharded,
     steering_gaussian_warp_sharded,
 )
@@ -20,4 +21,5 @@ __all__ = ["DATA_AXIS", "make_mesh", "batch_sharding", "replicated",
            "shard_batch", "replicate",
            "steering_gaussian_resize_sharded",
            "steering_gaussian_warp_sharded",
-           "lut_stages_sharded", "sharded_lut_sr_pipeline"]
+           "lut_stages_sharded", "sharded_lut_sr_pipeline",
+           "sharded_lut_warp_pipeline"]

@@ -244,3 +244,21 @@ def sharded_lut_sr_pipeline(img, tables1, tables2, modes,
     return steering_gaussian_resize_sharded(
         feat.astype(jnp.float32), rho, sx, sy, geom, mesh,
         max_sigma=max_sigma, axis=axis)
+
+
+def sharded_lut_warp_pipeline(img, tables1, tables2, modes,
+                              geom, mesh, *, max_sigma: float = 10.0,
+                              norm: int = 255, interval: int = 4,
+                              axis: str = DATA_AXIS):
+    """Multi-chip homographic warp: row-sharded stage ensembles →
+    output-row-sharded warp (replicated feat/hyper source, sharded
+    per-pixel indices/distances).  Same communication structure as
+    :func:`sharded_lut_sr_pipeline`."""
+    from ..ops.lut_pipeline import split_gaussian_hyper
+
+    feat, hyper = lut_stages_sharded(img, tables1, tables2, modes, mesh,
+                                     axis=axis, interval=interval, norm=norm)
+    rho, sx, sy = split_gaussian_hyper(hyper, norm)
+    return steering_gaussian_warp_sharded(
+        feat.astype(jnp.float32), rho, sx, sy, geom, mesh,
+        max_sigma=max_sigma, axis=axis)

@@ -99,3 +99,39 @@ def test_sharded_lut_stages_bit_exact():
         got = np.asarray(sharded_lut_sr_pipeline(img, s1, s2, modes, geom,
                                                  mesh))
         np.testing.assert_array_equal(want, got)
+
+
+def test_sharded_warp_pipeline_bit_exact():
+    import numpy as np
+
+    from lerf_tpu.ops.geometry import WarpGeometry
+    from lerf_tpu.ops.lut_pipeline import (build_packed_tables, lut_stage1,
+                                           lut_stage2, split_gaussian_hyper)
+    from lerf_tpu.ops import steering_gaussian_warp
+    from lerf_tpu.parallel import make_mesh, sharded_lut_warp_pipeline
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(9)
+    L4 = 17 ** 4
+    modes = ("s", "c", "t")
+    s1 = build_packed_tables(
+        {m: rng.randint(-127, 128, (L4, 1)).astype(np.int8) for m in modes},
+        modes)
+    s2 = build_packed_tables(
+        {f"{m}r{r}": rng.randint(-127, 128, (L4, 3)).astype(np.int8)
+         for m in modes for r in (0, 1)}, modes, split_r=True)
+    h, w = 29, 24
+    mat = np.linalg.inv(np.diag([0.5, 0.5, 1.0]))
+    geom = WarpGeometry.create((h, w), mat, (2 * h, 2 * w), support=2)
+    img = jnp.asarray(rng.randint(0, 256, (3, h, w)).astype(np.int32))
+
+    feat = lut_stage1(img, s1, modes)
+    hyper = lut_stage2(feat, s2, modes)
+    rho, sx, sy = split_gaussian_hyper(hyper)
+    want = np.asarray(steering_gaussian_warp(
+        feat.astype(jnp.float32), rho, sx, sy, geom, max_sigma=10.0))
+    got = np.asarray(sharded_lut_warp_pipeline(img, s1, s2, modes, geom,
+                                               mesh))
+    np.testing.assert_array_equal(np.nan_to_num(want), np.nan_to_num(got))
