@@ -46,18 +46,32 @@ def setup_logger(exp_dir: str, name: str = "train") -> logging.Logger:
 
 
 class ScalarWriter:
-    """TensorBoard-free scalar log: one JSON line per point."""
+    """Scalar log: one JSON line per point (scalars.jsonl), plus real
+    TensorBoard event files when the tensorboard package is importable —
+    same tags as the reference's SummaryWriter (loss_Pixel,
+    PSNR_X{s}/{ds}, SSIM_X{s}/{ds}, mPSNR_{isc,osc}/{ds};
+    train_model.py:173-176,310-312,453-454)."""
 
     def __init__(self, exp_dir: str):
         self._f = open(os.path.join(exp_dir, "scalars.jsonl"), "a")
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(exp_dir)
+        except Exception:
+            pass
 
     def add_scalar(self, tag: str, value: float, step: int):
         self._f.write(json.dumps(
             {"tag": tag, "value": float(value), "step": int(step)}) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(tag, float(value), int(step))
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def hparams_from_config(cfg: TrainConfig) -> TrainHParams:
