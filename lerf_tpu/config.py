@@ -40,11 +40,21 @@ class BaseConfig:
     platform: str = ""           # "", "cpu", "tpu", ... — jax backend override
 
     def apply_platform(self):
-        """Select the JAX backend before first use.  Needed because the
-        axon TPU plugin force-registers itself at interpreter start."""
+        """Select the JAX backend before first use (needed because the
+        axon TPU plugin force-registers itself at interpreter start), and
+        enable the persistent compilation cache — benchmark-set images
+        compile one executable per shape, and TPU gather compiles take
+        minutes each, so caching makes re-runs and repeated serving of the
+        same shapes fast."""
+        import jax
         if self.platform:
-            import jax
             jax.config.update("jax_platforms", self.platform)
+        cache = os.environ.get("LERF_JIT_CACHE",
+                               os.path.expanduser("~/.cache/jax_comp"))
+        if cache:
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
 
     @property
     def scale_value(self):
