@@ -47,7 +47,8 @@ def build_predictor(cfg: TestConfig) -> NetPredictor:
     return NetPredictor.from_srnets(
         params, modes=tuple(cfg.modes), modes2=tuple(cfg.modes2),
         stages=cfg.stages, linear=cfg.linear, two_stage=cfg.two_stage,
-        supp_size=cfg.supp_size, max_sigma=cfg.max_sigma, norm=cfg.norm)
+        supp_size=cfg.supp_size, max_sigma=cfg.max_sigma, norm=cfg.norm,
+        backend=getattr(cfg, "backend", "auto"))
 
 
 def main(argv=None, datasets=None):

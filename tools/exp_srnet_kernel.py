@@ -23,16 +23,7 @@ from lerf_tpu.models import srnet
 H, W = 360, 640
 
 
-def chain_time(step, x0, warmup=3, iters=20):
-    x = x0
-    for _ in range(warmup):
-        x = step(x)
-    jax.block_until_ready(x)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = step(x)
-    jax.block_until_ready(x)
-    return (time.perf_counter() - t0) / iters
+from _timing import chain_time  # noqa: E402  (shared timer)
 
 
 def main():

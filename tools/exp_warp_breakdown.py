@@ -29,16 +29,7 @@ from lerf_tpu.ops.resample import (_rowpack_warp_gather, _warp_dis_flat,
 H, W, SCALE = 360, 640, 4
 
 
-def chain_time(step, x0, warmup=3, iters=10):
-    x = x0
-    for _ in range(warmup):
-        x = step(x)
-    jax.block_until_ready(x)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = step(x)
-    jax.block_until_ready(x)
-    return (time.perf_counter() - t0) / iters
+from _timing import chain_time  # noqa: E402  (shared timer)
 
 
 def main():

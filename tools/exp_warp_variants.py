@@ -29,16 +29,7 @@ H, W, SCALE = 360, 640, 4
 OH, OW = H * SCALE, W * SCALE
 
 
-def chain_time(step, x0, warmup=3, iters=10):
-    x = x0
-    for _ in range(warmup):
-        x = step(x)
-    jax.block_until_ready(x)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = step(x)
-    jax.block_until_ready(x)
-    return (time.perf_counter() - t0) / iters
+from _timing import chain_time  # noqa: E402  (shared timer)
 
 
 def main():
