@@ -172,6 +172,22 @@ class NetPredictor:
             return out_u8, np.asarray(feat), np.asarray(hyper)
         return out_u8
 
+    def upscale_batch(self, imgs_bhwc: np.ndarray, scale_h: float,
+                      scale_w: float) -> np.ndarray:
+        """Serving form: uint8 [B,H,W,C] → uint8 [B,outH,outW,C] — one
+        device program for the whole batch (the stage fns and resample are
+        batch-polymorphic over leading dims, including the fused Pallas
+        ensemble kernel's pixel axis)."""
+        imgs = np.asarray(imgs_bhwc)
+        bchw = np.ascontiguousarray(imgs.transpose(0, 3, 1, 2)) \
+            .astype(np.float32) / self.norm
+        run = self._resize_fn(bchw.shape[2:],
+                              (float(scale_h), float(scale_w)))
+        out, _, _ = run(jnp.asarray(bchw))
+        out = np.clip(np.round(np.asarray(out)), 0, self.norm) \
+            .astype(np.uint8)
+        return out.transpose(0, 2, 3, 1)
+
     def _warp_fn(self, in_sz, matrix_key, geom, mask_geom):
         key = (in_sz, matrix_key, geom.out_sz)
         if key not in self._warp_cache:

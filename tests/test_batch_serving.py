@@ -44,3 +44,20 @@ def test_batch_sharded_over_mesh():
     got = pred.upscale_batch(imgs, 3, 3)
     want = pred_ref.upscale_batch(imgs, 3, 3)
     np.testing.assert_array_equal(got, want)
+
+
+def test_net_batch_matches_single():
+    import jax as _jax
+
+    from lerf_tpu.models import srnet
+    from lerf_tpu.pipeline import NetPredictor
+
+    params = srnet.init_lerf_nets(_jax.random.PRNGKey(3), out_c=3)
+    pred = NetPredictor.from_srnets(params)
+    rng = np.random.RandomState(4)
+    imgs = rng.randint(0, 256, (2, 10, 12, 3), dtype=np.uint8)
+    batch = pred.upscale_batch(imgs, 2, 2)
+    assert batch.shape == (2, 20, 24, 3)
+    for b in range(2):
+        single = pred.upscale(imgs[b], 2, 2)
+        np.testing.assert_array_equal(batch[b], single)
