@@ -1,0 +1,89 @@
+"""End-user upscaling command: one image in, one image out.
+
+The reference has no single-image CLI (its drivers run benchmark trees);
+this is the serving entry point a framework user reaches for first:
+
+    # LUT form (bit-parity deploy) — -e points at a LUT bank directory
+    python -m lerf_tpu.cli.upscale -e models/lerf-g --input in.png \
+        --output out.png --scale 4
+
+    # network form (fused Pallas ensemble on TPU)
+    python -m lerf_tpu.cli.upscale -e models/lerf-g --form net --twoStage \
+        --outC 3 --input in.png --output out.png --scale 2.5
+
+Non-integer and anisotropic scales work (``--scale 1.5x2.0``); ``--matrix
+a,b,c,...,i --outSize HxW`` switches to homographic warping with the same
+hyper maps (out-of-view pixels written black).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+
+import numpy as np
+
+from ..config import TestConfig, parse_config
+
+
+@dataclasses.dataclass
+class UpscaleConfig(TestConfig):
+    input: str = ""
+    output: str = ""
+    form: str = "lut"            # lut | net
+    matrix: str = ""             # 9 comma floats → homography warp mode
+    out_size: str = ""           # HxW for warp mode
+
+
+def build_predictor(cfg: UpscaleConfig):
+    if cfg.form == "net":
+        from .eval_model import build_predictor as build_net
+        return build_net(cfg)
+    from ..lut import load_lut_bank
+    from ..pipeline import LutPredictor
+
+    out_c = 1 if cfg.linear else 3
+    bank = load_lut_bank(cfg.exp_dir, lut_name=cfg.lut_name,
+                         modes=tuple(cfg.modes), modes2=tuple(cfg.modes2),
+                         out_c=out_c, interval=cfg.interval,
+                         stages=cfg.stages)
+    return LutPredictor(bank, linear=cfg.linear, modes=tuple(cfg.modes),
+                        modes2=tuple(cfg.modes2), supp_size=cfg.supp_size,
+                        max_sigma=cfg.max_sigma, stages=cfg.stages,
+                        norm=cfg.norm)
+
+
+def main(argv=None):
+    from PIL import Image
+
+    cfg = parse_config(UpscaleConfig, argv)
+    if not cfg.input or not cfg.output:
+        raise SystemExit("--input and --output are required")
+    pred = build_predictor(cfg)
+    img = np.array(Image.open(cfg.input).convert("RGB"))
+
+    if cfg.matrix:
+        vals = [float(v) for v in cfg.matrix.split(",")]
+        if len(vals) != 9:
+            raise SystemExit("--matrix needs 9 comma-separated floats")
+        mat = np.asarray(vals, np.float64).reshape(3, 3)
+        oh, ow = (int(v) for v in cfg.out_size.split("x"))
+        out, mask = pred.warp(img, mat, (oh, ow))
+        out = out * np.asarray(mask, out.dtype)[..., None]
+    else:
+        s = cfg.scale                      # "4", "2.5", or "1.5x2.0"
+        if "x" in s:
+            sh, sw = (float(v) for v in s.split("x"))
+        else:
+            sh = sw = float(s)
+        out = pred.upscale(img, sh, sw)
+
+    os.makedirs(os.path.dirname(os.path.abspath(cfg.output)), exist_ok=True)
+    Image.fromarray(out).save(cfg.output)
+    print(f"{cfg.input} {img.shape[1]}x{img.shape[0]} -> "
+          f"{cfg.output} {out.shape[1]}x{out.shape[0]}")
+    return out
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

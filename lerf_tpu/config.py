@@ -187,7 +187,7 @@ _FLAG_ALIASES = {
     "saveStep": "save_step", "weightDecay": "weight_decay",
     "workerNum": "worker_num", "testDir": "test_dir",
     "resultRoot": "result_root", "loadIter": "load_iter",
-    "lutName": "lut_name", "hrRoot": "hr_root",
+    "lutName": "lut_name", "hrRoot": "hr_root", "outSize": "out_size",
 }
 
 

@@ -61,3 +61,30 @@ def test_net_batch_matches_single():
     for b in range(2):
         single = pred.upscale(imgs[b], 2, 2)
         np.testing.assert_array_equal(batch[b], single)
+
+
+def test_upscale_cli_roundtrip(tmp_path):
+    """End-user CLI: PNG in → upscaled PNG out, LUT and net forms."""
+    from PIL import Image
+
+    from lerf_tpu.cli import upscale as up
+    from lerf_tpu.lut.io import save_lut_bank
+
+    bank = random_bank(seed=5)
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    save_lut_bank(bank, str(exp), lut_name="LUTft")
+    src = tmp_path / "in.png"
+    rng = np.random.RandomState(6)
+    Image.fromarray(rng.randint(0, 256, (12, 14, 3), dtype=np.uint8)) \
+        .save(src)
+    dst = tmp_path / "out.png"
+    out = up.main(["-e", str(exp), "--input", str(src), "--output",
+                   str(dst), "--scale", "2", "--platform", "cpu"])
+    assert out.shape == (24, 28, 3)
+    assert dst.exists()
+    # anisotropic fractional scale through the same entry point
+    out = up.main(["-e", str(exp), "--input", str(src), "--output",
+                   str(tmp_path / "out2.png"), "--scale", "1.5x2.0",
+                   "--platform", "cpu"])
+    assert out.shape == (18, 28, 3)
