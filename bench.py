@@ -86,11 +86,11 @@ def chain_time(step, x0, warmup=WARMUP, iters=ITERS):
     return (time.perf_counter() - t0) / iters
 
 
-def emit(metric, mps, vs=None):
+def emit(metric, mps, vs=None, unit="output_megapixels_per_sec"):
     print(json.dumps({
         "metric": metric,
         "value": round(mps, 3),
-        "unit": "output_megapixels_per_sec",
+        "unit": unit,
         "vs_baseline": round(mps / vs, 2) if vs else None,
     }), flush=True)
 
@@ -229,6 +229,42 @@ def bench_imdn_sr(h, w, scale=SCALE, dtype="float32"):
     return (h * scale) * (w * scale) / 1e6 / dt
 
 
+def bench_train(batch=16, crop=48, scale=4, iters=30):
+    """Full SPMD training-step throughput at the reference's default config
+    (train_model.py / option.py: B=16, cropSize=48, ×4, inC=1): both micro-net
+    ensembles, the steerable resize, backward, and the Adam update in one
+    jitted program.  State threading makes every step a true dependency chain.
+    Returns steps/sec."""
+    import jax
+    import jax.numpy as jnp
+    from lerf_tpu.models.srnet import init_lerf_nets
+    from lerf_tpu.ops import ResizeGeometry
+    from lerf_tpu.train.train_step import (TrainHParams, TrainState,
+                                           make_optimizer, make_train_step)
+
+    hp = TrainHParams(scale=float(scale), crop_size=crop)
+    # training resampler = torch-path geometry, AA hard-disabled
+    # (resize_right2d_torch.py:42-46)
+    geom = ResizeGeometry.create((crop, crop), scale_factors=(scale, scale),
+                                 antialias=False)
+    tx = make_optimizer(hp)
+    state = TrainState.create(init_lerf_nets(jax.random.PRNGKey(0)), tx)
+    step = make_train_step(tx, geom, hp, mesh=None)
+
+    rng = np.random.RandomState(0)
+    im = jnp.asarray(rng.rand(batch, 1, crop, crop).astype(np.float32))
+    lb = jnp.asarray(
+        rng.rand(batch, 1, crop * scale, crop * scale).astype(np.float32))
+    for _ in range(WARMUP):
+        state, metrics = step(state, im, lb)
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, im, lb)
+    jax.block_until_ready(metrics)
+    return iters / (time.perf_counter() - t0)
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     import jax
@@ -259,6 +295,8 @@ def main(argv=None):
         emit("lerf_g_net_sr_x4_bf16_batch4_throughput",
              bench_net_sr(LR_H, LR_W, dtype="bfloat16", batch=4),
              REF_NUMPY_MPS)
+        emit("lerf_g_train_step_throughput", bench_train(),
+             unit="train_steps_per_sec")
 
 
 if __name__ == "__main__":
