@@ -267,12 +267,10 @@ def bench_train(batch=16, crop=48, scale=4, iters=30):
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
-    import jax
-
     # XLA:TPU gather compiles are minutes-long on this stack; the persistent
     # cache makes them one-time per machine.
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from lerf_tpu.config import enable_jit_cache
+    enable_jit_cache()
 
     s1, s2 = load_luts()
     emit("lerf_g_lut_sr_x4_throughput", bench_lut_sr(s1, s2, LR_H, LR_W),

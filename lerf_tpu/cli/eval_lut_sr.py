@@ -13,7 +13,6 @@ import sys
 
 from ..config import TestConfig, parse_config
 from ..evaluate import format_sr_table, run_sr_benchmark
-from ..lut import load_lut_bank
 from ..pipeline import LutPredictor
 
 DEFAULT_DATASETS = ["Set5"]
@@ -25,15 +24,7 @@ def main(argv=None, datasets=None, scales=None):
     datasets = datasets or cfg.dataset_list() or DEFAULT_DATASETS
     scales = scales or cfg.scale_list() or DEFAULT_SCALES
 
-    out_c = 1 if cfg.linear else 3
-    bank = load_lut_bank(cfg.exp_dir, lut_name=cfg.lut_name,
-                         modes=tuple(cfg.modes), modes2=tuple(cfg.modes2),
-                         out_c=out_c, interval=cfg.interval,
-                         stages=cfg.stages)
-    pred = LutPredictor(bank, linear=cfg.linear, modes=tuple(cfg.modes),
-                        modes2=tuple(cfg.modes2), supp_size=cfg.supp_size,
-                        max_sigma=cfg.max_sigma, stages=cfg.stages,
-                        norm=cfg.norm)
+    pred = LutPredictor.from_config(cfg)
 
     # pre-upsampled inputs halve the resample scale (eval_lut_sr.py:630-646)
     post = 2 if ("PreUpsample" in cfg.test_dir or "down2" in cfg.result_root

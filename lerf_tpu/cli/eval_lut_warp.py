@@ -14,7 +14,6 @@ import sys
 
 from ..config import TestConfig, parse_config
 from ..evaluate import format_warp_table, run_warp_benchmark
-from ..lut import load_lut_bank
 from ..pipeline import LutPredictor
 
 DEFAULT_DATASETS = ["Set5"]
@@ -26,15 +25,7 @@ def main(argv=None, datasets=None, scale_ps=None):
     datasets = datasets or cfg.dataset_list() or DEFAULT_DATASETS
     scale_ps = scale_ps or DEFAULT_SCALE_PS
 
-    out_c = 1 if cfg.linear else 3
-    bank = load_lut_bank(cfg.exp_dir, lut_name=cfg.lut_name,
-                         modes=tuple(cfg.modes), modes2=tuple(cfg.modes2),
-                         out_c=out_c, interval=cfg.interval,
-                         stages=cfg.stages)
-    pred = LutPredictor(bank, linear=cfg.linear, modes=tuple(cfg.modes),
-                        modes2=tuple(cfg.modes2), supp_size=cfg.supp_size,
-                        max_sigma=cfg.max_sigma, stages=cfg.stages,
-                        norm=cfg.norm)
+    pred = LutPredictor.from_config(cfg)
 
     exp_name = cfg.exp_dir.rstrip("/").split("/")[-1]
     all_results = {}

@@ -39,18 +39,9 @@ def build_predictor(cfg: UpscaleConfig):
     if cfg.form == "net":
         from .eval_model import build_predictor as build_net
         return build_net(cfg)
-    from ..lut import load_lut_bank
     from ..pipeline import LutPredictor
 
-    out_c = 1 if cfg.linear else 3
-    bank = load_lut_bank(cfg.exp_dir, lut_name=cfg.lut_name,
-                         modes=tuple(cfg.modes), modes2=tuple(cfg.modes2),
-                         out_c=out_c, interval=cfg.interval,
-                         stages=cfg.stages)
-    return LutPredictor(bank, linear=cfg.linear, modes=tuple(cfg.modes),
-                        modes2=tuple(cfg.modes2), supp_size=cfg.supp_size,
-                        max_sigma=cfg.max_sigma, stages=cfg.stages,
-                        norm=cfg.norm)
+    return LutPredictor.from_config(cfg)
 
 
 def main(argv=None):
@@ -67,7 +58,11 @@ def main(argv=None):
         if len(vals) != 9:
             raise SystemExit("--matrix needs 9 comma-separated floats")
         mat = np.asarray(vals, np.float64).reshape(3, 3)
-        oh, ow = (int(v) for v in cfg.out_size.split("x"))
+        try:
+            oh, ow = (int(v) for v in cfg.out_size.split("x"))
+        except ValueError:
+            raise SystemExit("--matrix warp mode needs --outSize HxW "
+                             "(e.g. --outSize 512x512)")
         out, mask = pred.warp(img, mat, (oh, ow))
         out = out * np.asarray(mask, out.dtype)[..., None]
     else:

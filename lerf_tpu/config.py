@@ -14,6 +14,18 @@ import os
 from typing import Optional
 
 
+def enable_jit_cache():
+    """Enable the persistent XLA compilation cache (one shared definition
+    for the CLIs, bench.py, and the test suite).  ``LERF_JIT_CACHE``
+    overrides the location; set it empty to disable."""
+    import jax
+    cache = os.environ.get("LERF_JIT_CACHE",
+                           os.path.expanduser("~/.cache/jax_comp"))
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 @dataclasses.dataclass
 class BaseConfig:
     # experiment specifics (option.py:13-41)
@@ -49,12 +61,7 @@ class BaseConfig:
         import jax
         if self.platform:
             jax.config.update("jax_platforms", self.platform)
-        cache = os.environ.get("LERF_JIT_CACHE",
-                               os.path.expanduser("~/.cache/jax_comp"))
-        if cache:
-            jax.config.update("jax_compilation_cache_dir", cache)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              1.0)
+        enable_jit_cache()
 
     @property
     def scale_value(self):

@@ -234,8 +234,9 @@ def sharded_lut_sr_pipeline(img, tables1, tables2, modes,
     row-sharded steerable resize.  The only collective is the all-gather of
     the (input-sized) feat/hyper slabs that XLA inserts to satisfy the
     resize's replicated-source spec — a tiny transfer next to the sharded
-    output writes.  Output rows are sharded over ``mesh``; callers crop to
-    ``geom.out_sz``."""
+    output writes.  Returns the full ``geom.out_sz`` output (the sharded
+    resize pads rows to a mesh multiple internally and crops before
+    returning)."""
     from ..ops.lut_pipeline import split_gaussian_hyper
 
     feat, hyper = lut_stages_sharded(img, tables1, tables2, modes, mesh,

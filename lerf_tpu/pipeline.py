@@ -105,18 +105,24 @@ class NetPredictor:
         [ρ·featC, σx·featC, σy·featC] (eval_model.py:149) → reshaped to the
         trailing-axis convention [C,H,W,oC] with oC blocks outermost.
         """
-        def s1(p, x):                      # x [C,H,W] → [C,H,W]
-            nhwc = x[None].transpose(0, 2, 3, 1)
+        def to_nhwc(x):                    # [..., C, H, W] → NHWC batch
+            nhwc = jnp.moveaxis(x, -3, -1)
+            return (nhwc[None], True) if nhwc.ndim == 3 else (nhwc, False)
+
+        def s1(p, x):                      # x [..., C,H,W] → [..., C,H,W]
+            nhwc, single = to_nhwc(x)
             out = model.apply(p, nhwc, 1)
-            return out[0].transpose(2, 0, 1)
+            out = out[0] if single else out
+            return jnp.moveaxis(out, -1, -3)
 
         def s2(p, x):
-            nhwc = x[None].transpose(0, 2, 3, 1)
-            out = model.apply(p, nhwc, 2)[0]          # [H,W,3·C]
-            c = x.shape[0]
-            # [H,W,oC,C] → [C,H,W,oC]
-            out = out.reshape(out.shape[0], out.shape[1], out_c, c)
-            return out.transpose(3, 0, 1, 2)
+            nhwc, single = to_nhwc(x)
+            out = model.apply(p, nhwc, 2)             # [B,H,W,3·C]
+            out = out[0] if single else out
+            c = x.shape[-3]
+            # [..., H,W,oC,C] → [..., C,H,W,oC]
+            out = out.reshape(out.shape[:-1] + (out_c, c))
+            return jnp.moveaxis(out, -1, -4)
 
         return cls(variables, s1, s2, linear=linear, supp_size=supp_size,
                    max_sigma=max_sigma, norm=norm)
@@ -181,6 +187,11 @@ class NetPredictor:
         imgs = np.asarray(imgs_bhwc)
         bchw = np.ascontiguousarray(imgs.transpose(0, 3, 1, 2)) \
             .astype(np.float32) / self.norm
+        if float(scale_h) == 1.0 and float(scale_w) == 1.0:
+            # skip path, matching upscale (eval_model.py:153-154)
+            out = np.round(bchw * self.norm)
+            return np.clip(out, 0, self.norm).astype(np.uint8) \
+                .transpose(0, 2, 3, 1)
         run = self._resize_fn(bchw.shape[2:],
                               (float(scale_h), float(scale_w)))
         out, _, _ = run(jnp.asarray(bchw))
@@ -235,6 +246,23 @@ class LutPredictor:
     eval_lut_warp.py) with bit-exact stage arithmetic.  One compiled
     executable per distinct (input shape, output spec); traces are cached.
     """
+
+    @classmethod
+    def from_config(cls, cfg, **kwargs):
+        """Load the LUT bank named by a TestConfig and build the predictor —
+        the shared construction behind the eval_lut_sr / eval_lut_warp /
+        upscale CLIs (reference: eval_lut_sr.py:750-775)."""
+        from .lut import load_lut_bank
+
+        out_c = 1 if cfg.linear else 3
+        bank = load_lut_bank(cfg.exp_dir, lut_name=cfg.lut_name,
+                             modes=tuple(cfg.modes), modes2=tuple(cfg.modes2),
+                             out_c=out_c, interval=cfg.interval,
+                             stages=cfg.stages)
+        return cls(bank, linear=cfg.linear, modes=tuple(cfg.modes),
+                   modes2=tuple(cfg.modes2), supp_size=cfg.supp_size,
+                   max_sigma=cfg.max_sigma, stages=cfg.stages,
+                   norm=cfg.norm, **kwargs)
 
     def __init__(self, bank: LUTBank, *, linear: bool = False,
                  modes=("s", "c", "t"), modes2=("s", "c", "t"),

@@ -15,16 +15,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# CPU compiles dominate suite wall-clock (shard_map pipelines and the
-# per-geometry resample graphs take minutes each); the persistent cache
-# makes re-runs compile-free.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
+
+# CPU compiles dominate suite wall-clock (shard_map pipelines and the
+# per-geometry resample graphs take minutes each); the persistent cache
+# makes re-runs compile-free.
+from lerf_tpu.config import enable_jit_cache  # noqa: E402
+
+enable_jit_cache()
 
 REFERENCE_ROOT = "/root/reference"
 

@@ -63,6 +63,41 @@ def test_net_batch_matches_single():
         np.testing.assert_array_equal(batch[b], single)
 
 
+def test_imdn_batch_matches_single():
+    """from_imdn stage fns must be batch-polymorphic (regression: they were
+    rank-fixed and upscale_batch crashed on the IMDN form)."""
+    import jax as _jax
+
+    from lerf_tpu.models.imdn import IMDN2
+    from lerf_tpu.pipeline import NetPredictor
+
+    model = IMDN2(in_c=3, out_c=3, nf=8)
+    variables = model.init(_jax.random.PRNGKey(0),
+                           np.zeros((1, 8, 8, 3), np.float32), 0)
+    pred = NetPredictor.from_imdn(model, variables, out_c=3)
+    rng = np.random.RandomState(7)
+    imgs = rng.randint(0, 256, (2, 8, 10, 3), dtype=np.uint8)
+    batch = pred.upscale_batch(imgs, 2, 2)
+    assert batch.shape == (2, 16, 20, 3)
+    for b in range(2):
+        np.testing.assert_array_equal(batch[b], pred.upscale(imgs[b], 2, 2))
+
+
+def test_batch_scale1_passthrough():
+    """scale==1 must take the same skip path as upscale
+    (eval_model.py:153-154), not the lossy resample pipeline."""
+    from lerf_tpu.models import srnet
+    from lerf_tpu.pipeline import NetPredictor
+
+    params = srnet.init_lerf_nets(jax.random.PRNGKey(8), out_c=3)
+    pred = NetPredictor.from_srnets(params)
+    rng = np.random.RandomState(9)
+    imgs = rng.randint(0, 256, (2, 6, 7, 3), dtype=np.uint8)
+    batch = pred.upscale_batch(imgs, 1.0, 1.0)
+    np.testing.assert_array_equal(batch, imgs)
+    np.testing.assert_array_equal(pred.upscale(imgs[0], 1.0, 1.0), imgs[0])
+
+
 def test_upscale_cli_roundtrip(tmp_path):
     """End-user CLI: PNG in → upscaled PNG out, LUT and net forms."""
     from PIL import Image

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -78,7 +77,7 @@ def main():
 
     for name, f in (("full", full), ("gather-only", gather_only),
                     ("weights-only", weights_only)):
-        t = chain_time(f, img)
+        t = chain_time(f, img, iters=10)
         print(f"warp {name:13s}: {t*1e3:7.2f} ms")
 
 

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -76,7 +75,7 @@ def main():
 
     for name, f in (("A pack+gather", var_a), ("B +blend", var_b),
                     ("C full(+T)", var_c)):
-        t = chain_time(f, img)
+        t = chain_time(f, img, iters=10)
         print(f"{name:15s}: {t*1e3:7.2f} ms")
 
 
