@@ -29,5 +29,17 @@ enable_jit_cache()
 REFERENCE_ROOT = "/root/reference"
 
 
+def require_tpu():
+    """For LERF_TPU_TESTS-gated hardware tests: undo the CPU force and skip
+    unless a real TPU is visible."""
+    import pytest
+    try:
+        jax.config.update("jax_platforms", "")
+        if jax.devices()[0].platform == "cpu":
+            pytest.skip("no TPU visible")
+    except RuntimeError as e:
+        pytest.skip(f"cannot switch backend mid-session: {e}")
+
+
 def has_reference():
     return os.path.isdir(os.path.join(REFERENCE_ROOT, "resample"))

@@ -42,12 +42,8 @@ def test_pallas_hardware_parity():
     if os.environ.get("LERF_TPU_TESTS") != "1":
         pytest.skip("hardware test; set LERF_TPU_TESTS=1 on a TPU machine")
     import jax
-    try:
-        jax.config.update("jax_platforms", "")  # undo the conftest CPU force
-        if jax.devices()[0].platform == "cpu":
-            pytest.skip("no TPU visible")
-    except RuntimeError as e:
-        pytest.skip(f"cannot switch backend mid-session: {e}")
+    from conftest import require_tpu
+    require_tpu()
     import jax.numpy as jnp
     from lerf_tpu.ops import ResizeGeometry, steering_gaussian_resize
     from lerf_tpu.ops.pallas.resize_kernel import \
