@@ -229,6 +229,43 @@ def bench_imdn_sr(h, w, scale=SCALE, dtype="float32"):
     return (h * scale) * (w * scale) / 1e6 / dt
 
 
+def bench_latency(form, h, w, scale=SCALE, iters=50):
+    """End-to-end single-image serving latency (ms): uint8 numpy in →
+    uint8 numpy out, including host↔device transfers and output rounding —
+    what a serving frontend actually waits for.  Returns (p50, p99)."""
+    import jax
+    from lerf_tpu.lut.io import LUTBank
+    from lerf_tpu.pipeline import LutPredictor, NetPredictor
+
+    if form == "lut":
+        try:
+            from lerf_tpu.lut.io import load_lut_bank
+            bank = load_lut_bank("/root/reference/models/lerf-g", out_c=3)
+        except Exception:
+            s1, s2 = load_flat_luts()
+            bank = LUTBank(
+                stage1={m: v.astype(np.int8) for m, v in s1.items()},
+                stage2={k: v.astype(np.int8) for k, v in s2.items()},
+                out_c=3)
+        pred = LutPredictor(bank)
+    else:
+        from lerf_tpu.models import srnet
+        params = srnet.init_lerf_nets(jax.random.PRNGKey(0), out_c=3)
+        pred = NetPredictor.from_srnets(params)
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    for _ in range(WARMUP):
+        out = pred.upscale(img, scale, scale)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = pred.upscale(img, scale, scale)       # noqa: F841 (sync: numpy out)
+        times.append((time.perf_counter() - t0) * 1e3)
+    times.sort()
+    return times[len(times) // 2], times[int(len(times) * 0.99)]
+
+
 def bench_train(batch=16, crop=48, scale=4, iters=30):
     """Full SPMD training-step throughput at the reference's default config
     (train_model.py / option.py: B=16, cropSize=48, ×4, inC=1): both micro-net
@@ -295,6 +332,10 @@ def main(argv=None):
              REF_NUMPY_MPS)
         emit("lerf_g_train_step_throughput", bench_train(),
              unit="train_steps_per_sec")
+        for form in ("lut", "net"):
+            p50, p99 = bench_latency(form, LR_H, LR_W)
+            emit(f"lerf_g_{form}_sr_x4_latency_p50", p50, unit="ms")
+            emit(f"lerf_g_{form}_sr_x4_latency_p99", p99, unit="ms")
 
 
 if __name__ == "__main__":

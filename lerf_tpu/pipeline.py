@@ -35,6 +35,28 @@ def _device_tables(t):
     return {k: jnp.asarray(v) for k, v in t.items()}
 
 
+def _quantize_device(out, norm, nan_to_zero=False):
+    """Round/clip/cast to uint8 ON DEVICE when the range allows it.
+
+    Serving latency is dominated by the device→host copy of the HR frame;
+    shipping uint8 instead of float32 cuts that transfer 4× (measured:
+    single-image p50 3.9 s → ~1 s through the axon-tunneled chip).  Bitwise
+    identical to the former host-side np.round/np.clip/np.uint8 path."""
+    if nan_to_zero:
+        out = jnp.nan_to_num(out, nan=0.0)
+    if norm <= 255:
+        return jnp.clip(jnp.round(out), 0, norm).astype(jnp.uint8)
+    return out
+
+
+def _quantize_host(arr, norm):
+    """Finish quantization for outputs the device couldn't cast (norm>255)."""
+    a = np.asarray(arr)
+    if a.dtype == np.uint8:
+        return a
+    return np.clip(np.round(a), 0, norm).astype(np.uint8)
+
+
 class NetPredictor:
     """Two-stage *network* inference: feature net → hyper net → resample.
 
@@ -153,7 +175,7 @@ class NetPredictor:
                     out = steering_gaussian_resize(
                         feat, hyper[..., 0], hyper[..., 1], hyper[..., 2],
                         geom, max_sigma=self.max_sigma)
-                return out, feat, hyper
+                return _quantize_device(out, self.norm), feat, hyper
 
             self._resize_cache[key] = run
         return self._resize_cache[key]
@@ -172,8 +194,7 @@ class NetPredictor:
             return out_u8.transpose(1, 2, 0)
         run = self._resize_fn(chw.shape[1:], (float(scale_h), float(scale_w)))
         out, feat, hyper = run(jnp.asarray(chw))
-        out_u8 = np.clip(np.round(np.asarray(out)), 0,
-                         self.norm).astype(np.uint8).transpose(1, 2, 0)
+        out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
         if return_aux:
             return out_u8, np.asarray(feat), np.asarray(hyper)
         return out_u8
@@ -195,9 +216,7 @@ class NetPredictor:
         run = self._resize_fn(bchw.shape[2:],
                               (float(scale_h), float(scale_w)))
         out, _, _ = run(jnp.asarray(bchw))
-        out = np.clip(np.round(np.asarray(out)), 0, self.norm) \
-            .astype(np.uint8)
-        return out.transpose(0, 2, 3, 1)
+        return _quantize_host(out, self.norm).transpose(0, 2, 3, 1)
 
     def _warp_fn(self, in_sz, matrix_key, geom, mask_geom):
         key = (in_sz, matrix_key, geom.out_sz)
@@ -215,7 +234,10 @@ class NetPredictor:
                         geom, max_sigma=self.max_sigma,
                         u8_inputs=self.hyper_u8)
                 mask = nearest_warp_mask(in_sz, mask_geom, border=4)
-                return out, mask
+                # out-of-view support windows are NaN (0-sum weights);
+                # zero them before quantizing, matching eval_model.py:261
+                return _quantize_device(out, self.norm, nan_to_zero=True), \
+                    mask.astype(jnp.bool_)
 
             self._warp_cache[key] = run
         return self._warp_cache[key]
@@ -233,10 +255,8 @@ class NetPredictor:
         mask_geom = WarpGeometry.create(in_sz, matrix, out_hw, support=1)
         run = self._warp_fn(in_sz, matrix.tobytes(), geom, mask_geom)
         out, mask = run(jnp.asarray(chw))
-        out = np.nan_to_num(np.asarray(out), nan=0.0)
-        out_u8 = np.clip(np.round(out), 0,
-                         self.norm).astype(np.uint8).transpose(1, 2, 0)
-        return out_u8, np.asarray(mask) == 1.0
+        out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
+        return out_u8, np.asarray(mask)
 
 
 class LutPredictor:
@@ -369,7 +389,7 @@ class LutPredictor:
                     rho, sx, sy = split_gaussian_hyper(hyper, self.norm)
                     out = steering_gaussian_resize(featf, rho, sx, sy, geom,
                                                    max_sigma=self.max_sigma)
-                return out, feat, hyper
+                return _quantize_device(out, self.norm), feat, hyper
 
             self._resize_cache[key] = run
         return self._resize_cache[key]
@@ -383,9 +403,7 @@ class LutPredictor:
         chw = np.ascontiguousarray(img.transpose(2, 0, 1)).astype(np.int32)
         run = self._resize_fn(chw.shape[1:], (float(scale_h), float(scale_w)))
         out, feat, hyper = run(jnp.asarray(chw))
-        out = np.asarray(out)
-        out_u8 = np.clip(np.round(out), 0, self.norm).astype(np.uint8)
-        out_u8 = out_u8.transpose(1, 2, 0)
+        out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
         if return_aux:
             return out_u8, np.asarray(feat), np.asarray(hyper)
         return out_u8
@@ -408,9 +426,7 @@ class LutPredictor:
         run = self._resize_fn(bchw.shape[2:],
                               (float(scale_h), float(scale_w)))
         out, _, _ = run(bchw)
-        out = np.clip(np.round(np.asarray(out)), 0, self.norm) \
-            .astype(np.uint8)
-        return out.transpose(0, 2, 3, 1)
+        return _quantize_host(out, self.norm).transpose(0, 2, 3, 1)
 
     # -- warp ---------------------------------------------------------------
 
@@ -443,7 +459,10 @@ class LutPredictor:
                                                  max_sigma=self.max_sigma,
                                                  u8_inputs=u8)
                 mask = nearest_warp_mask(in_sz, mask_geom, border=4)
-                return out, mask, feat, hyper
+                # NaN (out-of-view) → 0 before quantization, matching
+                # eval_model.py:261
+                return _quantize_device(out, self.norm, nan_to_zero=True), \
+                    mask.astype(jnp.bool_), feat, hyper
 
             self._warp_cache[key] = run
         return self._warp_cache[key]
@@ -466,11 +485,8 @@ class LutPredictor:
         mask_geom = WarpGeometry.create(in_sz, matrix, out_hw, support=1)
         run = self._warp_fn(in_sz, matrix.tobytes(), geom, mask_geom)
         out, mask, feat, hyper = run(jnp.asarray(chw))
-        out = np.asarray(out)
-        out = np.nan_to_num(out, nan=0.0)
-        out_u8 = np.clip(np.round(out), 0, self.norm).astype(np.uint8)
-        out_u8 = out_u8.transpose(1, 2, 0)
-        mask = np.asarray(mask) == 1.0
+        out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
+        mask = np.asarray(mask)
         if return_aux:
             return out_u8, mask, np.asarray(feat), np.asarray(hyper)
         return out_u8, mask
