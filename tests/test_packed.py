@@ -52,6 +52,24 @@ def test_packed_ensemble_bit_exact(modes, split_r, oc):
     np.testing.assert_array_equal(got, want)
 
 
+def test_packed_ensemble_interval3_bit_exact():
+    """Packed tables honor a non-default --interval (L=33, q=8)."""
+    interval, oc = 3, 3
+    L = (1 << (8 - interval)) + 1
+    rng = RNG(11)
+    luts = {f"{m}r{r}": jnp.asarray(
+        rng.randint(-127, 128, (L ** 4, oc)).astype(np.int32))
+        for m in ("s", "c") for r in (0, 1)}
+    packed = build_packed_tables(luts, ("s", "c"), split_r=True,
+                                 interval=interval)
+    img = jnp.asarray(RNG(12).randint(0, 256, (2, 8, 10)).astype(np.int32))
+    want = np.asarray(lut_ensemble(img, luts, ("s", "c"), split_r=True,
+                                   interval=interval))
+    got = np.asarray(lut_ensemble(img, packed, ("s", "c"), split_r=True,
+                                  interval=interval))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_packed_int8_tables_bit_exact():
     luts = rand_luts(("s", "c", "t"), 3, True, seed=9)
     luts8 = {k: np.asarray(v).astype(np.int8) for k, v in luts.items()}

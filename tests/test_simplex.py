@@ -20,7 +20,7 @@ def rand_img_u8(c, h, w, seed=0):
     return RNG(seed).randint(0, 256, size=(c, h, w)).astype(np.int32)
 
 
-def ref_simplex(lut_i8, img_u8, mode, rot, oC):
+def ref_simplex(lut_i8, img_u8, mode, rot, oC, interval=4):
     """Run the reference FourSimplexInterpFaster on an edge-padded image."""
     four = ref_four_simplex()
     pad = MODE_PAD[mode]
@@ -28,7 +28,7 @@ def ref_simplex(lut_i8, img_u8, mode, rot, oC):
     img_in = np.pad(img_u8.astype(np.float32), ((0, 0), (0, pad), (0, pad)),
                     mode="edge")
     return four(lut_i8.astype(np.float32).reshape(-1, oC), img_in, h, w,
-                4, rot, upscale=1, mode=mode, oC=oC)
+                interval, rot, upscale=1, mode=mode, oC=oC)
 
 
 @requires_reference
@@ -49,6 +49,31 @@ def test_simplex_matches_reference_rot0(mode, oC):
     got = np.asarray(simplex4d(jnp.asarray(lut.astype(np.int32)), *abcd))
     # reference returns [C*oC, h, w] floats = (our int / q)
     got = got.transpose(0, 3, 1, 2).reshape(img.shape[0] * oC, h, w) / 16.0
+    np.testing.assert_array_equal(got, want)
+
+
+@requires_reference
+@pytest.mark.parametrize("mode,interval", [("s", 3), ("c", 3), ("d", 5)])
+def test_simplex_matches_reference_other_intervals(mode, interval):
+    """--interval is a real knob (option.py:23): L=2^(8-i)+1, q=2^i.
+    Parity at interval 3 (L=33) and 5 (L=9), not just the default 4."""
+    oC = 2
+    L = (1 << (8 - interval)) + 1
+    lut = RNG(7).randint(-127, 128, size=(L ** 4, oC)).astype(np.int8)
+    img = rand_img_u8(2, 9, 11, seed=8)
+
+    want = ref_simplex(lut, img, mode, rot=4, oC=oC, interval=interval)
+
+    pad = 3
+    xpad = np.pad(img, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+    h, w = img.shape[1:]
+    offs = MODE_OFFSETS[mode]
+    abcd = [jnp.asarray(xpad[:, pad + oi:pad + oi + h, pad + oj:pad + oj + w])
+            for (oi, oj) in offs]
+    got = np.asarray(simplex4d(jnp.asarray(lut.astype(np.int32)), *abcd,
+                               interval=interval))
+    got = got.transpose(0, 3, 1, 2).reshape(img.shape[0] * oC, h, w) \
+        / float(1 << interval)
     np.testing.assert_array_equal(got, want)
 
 
