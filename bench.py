@@ -66,24 +66,10 @@ def load_luts():
 
 
 def chain_time(step, x0, warmup=WARMUP, iters=ITERS):
-    """Steady-state seconds/iter on a serial dependency chain.
-
-    Iteration k's input is derived from iteration k-1's output inside
-    ``step``.  Repeat-same-input loops on this stack can report physically
-    impossible times (below the HBM write time of the output — see
-    BASELINE.md "Timing-methodology note"); chaining makes every iteration's
-    work unavoidable.
-    """
-    import jax
-    x = x0
-    for _ in range(warmup):
-        x = step(x)
-    jax.block_until_ready(x)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = step(x)
-    jax.block_until_ready(x)
-    return (time.perf_counter() - t0) / iters
+    """Steady-state seconds/iter on a serial dependency chain
+    (lerf_tpu/utils/timing.py; methodology note in BASELINE.md)."""
+    from lerf_tpu.utils.timing import chain_time as ct
+    return ct(step, x0, warmup=warmup, iters=iters)
 
 
 def emit(metric, mps, vs=None, unit="output_megapixels_per_sec"):

@@ -10,6 +10,7 @@ Layouts (README.md:63-87 of the reference):
 from __future__ import annotations
 
 import os
+import zlib
 from typing import List, Optional
 
 import numpy as np
@@ -80,7 +81,9 @@ class SRBenchmark:
                                      self.files[i]))
         hr = load_image(os.path.join(self.hr_dir, self.files[i]))
         if self.nsigma > 0:
-            rng = np.random.RandomState(hash((self.dataset, i)) % (1 << 31))
+            # zlib.crc32 is process-stable (Python's str hash is salted)
+            seed = zlib.crc32(f"{self.dataset}/{i}".encode()) % (1 << 31)
+            rng = np.random.RandomState(seed)
             lr = np.clip(np.round(lr + rng.normal(0.0, self.nsigma,
                                                   lr.shape)), 0, 255) \
                 .astype(np.float32)

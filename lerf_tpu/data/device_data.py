@@ -39,6 +39,11 @@ def tile_images(lr_images, hr_images, scale: int, tile: int):
         h, w = lr.shape[:2]
         if h < tile or w < tile:
             raise ValueError(f"image {h}x{w} smaller than tile {tile}")
+        if hr.shape[:2] != (h * scale, w * scale):
+            # a short HR would make the edge-aligned tiles' labels come up
+            # short and stack as silent zero padding
+            raise ValueError(
+                f"HR shape {hr.shape[:2]} != LR {h}x{w} × scale {scale}")
         starts_i = list(range(0, h - tile, tile)) + [h - tile]
         starts_j = list(range(0, w - tile, tile)) + [w - tile]
         for i in starts_i:

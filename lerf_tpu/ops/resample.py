@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import interp_kernels
-from .geometry import ResizeGeometry, WarpGeometry
+from .geometry import (ResizeGeometry, WarpGeometry,
+                       resolve_scale_and_out_sz)
 
 # ---------------------------------------------------------------------------
 # padding helpers
@@ -548,6 +549,15 @@ def _encode_u8(u):
     return jnp.round(u * 255.0).astype(jnp.uint8)
 
 
+def _u8_to_unit(p):
+    """u8-exact hyper input → [0,1] float: integer codes divide by 255,
+    floats are already unit-scaled (the inverse of :func:`_encode_u8`)."""
+    p = jnp.asarray(p)
+    if jnp.issubdtype(p.dtype, jnp.integer):
+        return p.astype(jnp.float32) / 255.0
+    return p
+
+
 def steering_gaussian_warp(img, rho, sigma_x, sigma_y, geom: WarpGeometry, *,
                            max_sigma: float = 10.0,
                            pad_mode: str = "constant",
@@ -600,6 +610,13 @@ def steering_gaussian_warp(img, rho, sigma_x, sigma_y, geom: WarpGeometry, *,
             ws = w if ws is None else ws + w
         out = wn / ws                                 # [N, C]
         return out.T.reshape(img.shape[0], *geom.out_sz)
+    if u8_inputs:
+        # generic fallback (support≠2 / batched): hypers may be integer
+        # codes 0..255 (normalize, like _encode_u8's decode) or already
+        # u8-exact [0,1] floats (leave as-is)
+        img = img.astype(jnp.float32)
+        rho, sigma_x, sigma_y = (_u8_to_unit(p)
+                                 for p in (rho, sigma_x, sigma_y))
     rho, sigma_x, sigma_y = decode_gaussian_hyper(rho, sigma_x, sigma_y,
                                                   max_sigma)
     f_rho = _gather_warp(rho, geom, "edge")
@@ -653,6 +670,10 @@ def amplified_linear_warp(img, alpha, geom: WarpGeometry, *,
             wn = w * x if wn is None else wn + w * x
             ws = w if ws is None else ws + w
         return (wn / ws).T.reshape(img.shape[0], *geom.out_sz)
+    if u8_inputs:
+        # generic fallback: integer codes 0..255 → [0,1] before decode
+        img = img.astype(jnp.float32)
+        alpha = _u8_to_unit(alpha)
     alpha = decode_linear_hyper(alpha, max_alpha)
     f_alpha = _gather_warp(alpha, geom, "edge")
     dx64 = geom.dis_x.transpose(2, 0, 1)[:, None]     # [S,1,oh,ow]
@@ -736,16 +757,17 @@ def _axis_resize_by_convs(x, out_sz: int, frac, kernel: str,
                                           antialias)
     t_taps = w64.shape[1]
     pad0 = int(max(0, -left.min()))
-    n_k = [(out_sz - k - 1) // p + 1 for k in range(p)]
-    need = max(int(left[k]) + pad0 + (n_k[k] - 1) * q + t_taps
-               for k in range(p))
+    # every phase's tap slices span (n_max-1)*q regardless of how many of
+    # its outputs survive the final trim, so the pad must cover n_max (using
+    # per-phase counts under-pads later phases when out_sz % p != 0)
+    n_max = (out_sz - 1) // p + 1
+    need = int(left.max()) + pad0 + (n_max - 1) * q + t_taps
     pad1 = int(max(0, need - (in_sz + pad0)))
     pad_cfg = ((pad0, pad1), (0, 0)) if axis in (-2, x.ndim - 2) \
         else ((0, 0), (pad0, pad1))
     xp = pad2d(x, pad_cfg[0], pad_cfg[1], pad_mode)
 
     pos = axis if axis >= 0 else x.ndim + axis
-    n_max = max(n_k)
     phases = []
     for k in range(p):
         start = int(left[k]) + pad0
@@ -789,15 +811,8 @@ def resize(img, scale_factors=None, out_shape=None, *,
 
     support = _KERNEL_SUPPORT[interp_method]
     in_hw = img.shape[-2:]
-    if scale_factors is None and out_shape is None:
-        raise ValueError("either scale_factors or out_shape required")
-    if scale_factors is None:
-        scale_factors = [out_shape[0] / in_hw[0], out_shape[1] / in_hw[1]]
-    if not isinstance(scale_factors, (list, tuple)):
-        scale_factors = [scale_factors, scale_factors]
-    if out_shape is None:
-        out_shape = [int(np.ceil(s * i))
-                     for s, i in zip(scale_factors, in_hw)]
+    scale_factors, out_shape = resolve_scale_and_out_sz(
+        in_hw, scale_factors, out_shape)
 
     if not by_convs:
         geom = ResizeGeometry.create(

@@ -170,8 +170,8 @@ def steering_gaussian_warp_sharded(img, rho, sigma_x, sigma_y, geom, mesh, *,
 
 
 def lut_stages_sharded(img, tables1, tables2, modes, mesh, *,
-                       axis: str = DATA_AXIS, interval: int = 4,
-                       norm: int = 255):
+                       modes2=None, axis: str = DATA_AXIS,
+                       interval: int = 4, norm: int = 255):
     """Input-row-sharded LUT stage ensembles.
 
     The stages are the dominant deploy cost and scale with INPUT pixels, so
@@ -184,10 +184,14 @@ def lut_stages_sharded(img, tables1, tables2, modes, mesh, *,
     sharded result is BIT-IDENTICAL to single-device
     (tests/test_spatial.py::test_sharded_lut_stages_bit_exact).
 
-    Returns (feat, hyper) row-sharded over ``mesh`` (cropped to H).
+    ``modes2`` defaults to ``modes`` (stage-2 banks may use a different
+    mode set — TestConfig.modes2).  Returns (feat, hyper) row-sharded over
+    ``mesh`` (cropped to H).
     """
     from ..ops.lut_pipeline import MAX_PAD, lut_stage1, lut_stage2
 
+    if modes2 is None:
+        modes2 = modes
     n = mesh.devices.size
     h, w = img.shape[-2:]
     hp = -(-h // n) * n
@@ -210,7 +214,8 @@ def lut_stages_sharded(img, tables1, tables2, modes, mesh, *,
         # with the ensemble, two chained levels do not).
         idx = jnp.minimum(jnp.arange(band), h - 1 - lo)
         feat_b = jnp.take(feat_b, idx, axis=-2)
-        hyper_b = lut_stage2(feat_b, t2, modes, interval=interval, norm=norm)
+        hyper_b = lut_stage2(feat_b, t2, modes2, interval=interval,
+                             norm=norm)
         off = r0 - lo
         feat = jax.lax.dynamic_slice_in_dim(feat_b, off, rows, axis=-2)
         hyper = jax.lax.dynamic_slice_in_dim(hyper_b, off, rows, axis=-3)
@@ -228,8 +233,9 @@ def lut_stages_sharded(img, tables1, tables2, modes, mesh, *,
 
 def sharded_lut_sr_pipeline(img, tables1, tables2, modes,
                             geom: ResizeGeometry, mesh, *,
-                            max_sigma: float = 10.0, norm: int = 255,
-                            interval: int = 4, axis: str = DATA_AXIS):
+                            modes2=None, max_sigma: float = 10.0,
+                            norm: int = 255, interval: int = 4,
+                            axis: str = DATA_AXIS):
     """Complete multi-chip LeRF-G SR: row-sharded stage ensembles →
     row-sharded steerable resize.  The only collective is the all-gather of
     the (input-sized) feat/hyper slabs that XLA inserts to satisfy the
@@ -240,7 +246,8 @@ def sharded_lut_sr_pipeline(img, tables1, tables2, modes,
     from ..ops.lut_pipeline import split_gaussian_hyper
 
     feat, hyper = lut_stages_sharded(img, tables1, tables2, modes, mesh,
-                                     axis=axis, interval=interval, norm=norm)
+                                     modes2=modes2, axis=axis,
+                                     interval=interval, norm=norm)
     rho, sx, sy = split_gaussian_hyper(hyper, norm)
     return steering_gaussian_resize_sharded(
         feat.astype(jnp.float32), rho, sx, sy, geom, mesh,
@@ -248,7 +255,8 @@ def sharded_lut_sr_pipeline(img, tables1, tables2, modes,
 
 
 def sharded_lut_warp_pipeline(img, tables1, tables2, modes,
-                              geom, mesh, *, max_sigma: float = 10.0,
+                              geom, mesh, *, modes2=None,
+                              max_sigma: float = 10.0,
                               norm: int = 255, interval: int = 4,
                               axis: str = DATA_AXIS):
     """Multi-chip homographic warp: row-sharded stage ensembles →
@@ -258,7 +266,8 @@ def sharded_lut_warp_pipeline(img, tables1, tables2, modes,
     from ..ops.lut_pipeline import split_gaussian_hyper
 
     feat, hyper = lut_stages_sharded(img, tables1, tables2, modes, mesh,
-                                     axis=axis, interval=interval, norm=norm)
+                                     modes2=modes2, axis=axis,
+                                     interval=interval, norm=norm)
     rho, sx, sy = split_gaussian_hyper(hyper, norm)
     return steering_gaussian_warp_sharded(
         feat.astype(jnp.float32), rho, sx, sy, geom, mesh,

@@ -107,6 +107,20 @@ def test_tiled_dataset_dense_and_valid():
                                np.asarray(lb).mean((1, 2, 3)), atol=1e-6)
 
 
+def test_tile_hr_shape_mismatch_rejected():
+    """Regression: a short HR used to zero-pad the edge-aligned tiles'
+    labels silently; now it is a hard error."""
+    import pytest
+
+    from lerf_tpu.data.device_data import tile_images
+
+    rng = np.random.RandomState(0)
+    lr = rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
+    hr_short = rng.randint(0, 256, (79, 80, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="HR shape"):
+        tile_images([lr], [hr_short], 2, 16)
+
+
 def test_tile_smaller_than_crop_rejected():
     from lerf_tpu.data.device_data import DeviceDataset
     lrs = [np.zeros((32, 32, 3), np.uint8)]

@@ -284,6 +284,42 @@ def test_u8_rowpack_warp_matches_float_path():
         np.testing.assert_array_equal(a_got[~nan_g], a_want[~nan_w])
 
 
+def test_u8_integer_codes_generic_fallback_support4():
+    """Regression: u8_inputs with a support!=2 geometry takes the generic
+    element-gather path, which must normalize raw integer codes 0..255
+    before decoding (it used to decode them as [0,1] maps — rho up to 509,
+    sigma up to 2550, silent garbage)."""
+    from lerf_tpu.ops.geometry import WarpGeometry
+    from lerf_tpu.ops.resample import (amplified_linear_warp,
+                                       steering_gaussian_warp)
+
+    rng = np.random.RandomState(13)
+    mat = np.asarray([[0.9, 0.15, 5.0], [-0.1, 1.1, -3.0],
+                      [2e-4, 1e-4, 1.0]])
+    geom = WarpGeometry.create((18, 25), mat, (36, 50), support=4)
+    img = jnp.asarray(rng.randint(0, 256, (3, 18, 25)).astype(np.float32))
+    codes = [rng.randint(0, 256, (3, 18, 25)).astype(np.int32)
+             for _ in range(3)]
+    floats = [jnp.asarray(c.astype(np.float32) / 255.0) for c in codes]
+    codes = [jnp.asarray(c) for c in codes]
+
+    want = np.asarray(steering_gaussian_warp(img, *floats, geom))
+    got = np.asarray(steering_gaussian_warp(img, *codes, geom,
+                                            u8_inputs=True))
+    nan_w, nan_g = np.isnan(want), np.isnan(got)
+    np.testing.assert_array_equal(nan_g, nan_w)
+    np.testing.assert_allclose(got[~nan_g], want[~nan_w], rtol=1e-5,
+                               atol=1e-3)
+
+    a_want = np.asarray(amplified_linear_warp(img, floats[0], geom))
+    a_got = np.asarray(amplified_linear_warp(img, codes[0], geom,
+                                             u8_inputs=True))
+    nan_w, nan_g = np.isnan(a_want), np.isnan(a_got)
+    np.testing.assert_array_equal(nan_g, nan_w)
+    np.testing.assert_allclose(a_got[~nan_g], a_want[~nan_w], rtol=1e-5,
+                               atol=1e-3)
+
+
 def test_per_block_periodic_resize_matches_lattice_path(monkeypatch):
     """The per-(s,t)-block periodic resize (production path — avoids the
     S²-expanded lattices, 2.4× at 4K) is bit-identical to the lattice

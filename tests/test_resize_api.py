@@ -82,6 +82,19 @@ def test_by_convs_matches_gather_path():
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
 
 
+def test_by_convs_nonmultiple_output_size():
+    """Regression: every phase's tap slices span (n_max-1)*q, so the pad
+    must cover n_max even when out_sz % p != 0 (10->13 at 5/4 crashed:
+    later phases sliced out of bounds)."""
+    rng = np.random.RandomState(6)
+    img = jnp.asarray(rng.rand(3, 10, 10).astype(np.float32))
+    for scale in [1.25, 1.75, 2.5]:
+        a = np.asarray(resize(img, scale_factors=scale, by_convs=True))
+        b = np.asarray(resize(img, scale_factors=scale))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
+
+
 def test_by_convs_irrational_falls_back():
     """A dim whose scale has no small-fraction form uses the generic path
     (by_convs demoted per dim — resize_right.py:336-342)."""

@@ -101,6 +101,35 @@ def test_sharded_lut_stages_bit_exact():
         np.testing.assert_array_equal(want, got)
 
 
+def test_sharded_stages_distinct_modes2():
+    """Regression: stage-2 banks may use a different mode set than stage 1
+    (TestConfig.modes2); the sharded stages must key stage 2 by modes2."""
+    import numpy as np
+
+    from lerf_tpu.ops.lut_pipeline import (build_packed_tables, lut_stage1,
+                                           lut_stage2)
+    from lerf_tpu.parallel import lut_stages_sharded, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(23)
+    L4 = 17 ** 4
+    modes, modes2 = ("s", "c", "t"), ("s", "d")
+    s1 = build_packed_tables(
+        {m: rng.randint(-127, 128, (L4, 1)).astype(np.int8) for m in modes},
+        modes)
+    s2 = build_packed_tables(
+        {f"{m}r{r}": rng.randint(-127, 128, (L4, 3)).astype(np.int8)
+         for m in modes2 for r in (0, 1)}, modes2, split_r=True)
+    img = jnp.asarray(rng.randint(0, 256, (3, 26, 20)).astype(np.int32))
+    feat_ref = lut_stage1(img, s1, modes)
+    hyper_ref = lut_stage2(feat_ref, s2, modes2)
+    feat, hyper = lut_stages_sharded(img, s1, s2, modes, mesh, modes2=modes2)
+    np.testing.assert_array_equal(np.asarray(feat_ref), np.asarray(feat))
+    np.testing.assert_array_equal(np.asarray(hyper_ref), np.asarray(hyper))
+
+
 def test_sharded_warp_pipeline_bit_exact():
     import numpy as np
 
