@@ -157,7 +157,10 @@ def bench_net_sr(h, w, scale=SCALE, dtype="float32", backend="auto",
     except Exception:
         params = srnet.init_lerf_nets(jax.random.PRNGKey(1), out_c=3)
     dt_ = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-    params = jax.tree.map(lambda x: jnp.asarray(x, dt_), params)
+    if backend == "pallas_int8":
+        params = srnet.quantize_lerf_params(params)
+    else:
+        params = jax.tree.map(lambda x: jnp.asarray(x, dt_), params)
     geom = ResizeGeometry.create((h, w), scale_factors=[scale, scale],
                                  support=2)
 

@@ -164,7 +164,7 @@ class TestConfig(BaseConfig):
     hr_root: str = ""            # optional separate HR root for warp eval
     datasets: str = "Set5"       # comma list of benchmark sets
     scales: str = "2,3,4"        # comma list; 'HxW' pairs allowed
-    backend: str = "auto"        # net-form ensemble: auto | pallas | xla
+    backend: str = "auto"        # net ensemble: auto|pallas|xla|pallas_int8
 
     def dataset_list(self):
         return [d for d in self.datasets.split(",") if d]

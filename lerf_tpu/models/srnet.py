@@ -178,10 +178,33 @@ def resolve_backend(backend: str) -> str:
 
     One resolver shared by every dispatch site (NetPredictor, bench) so
     production and benchmark always pick the same implementation.
+    ``pallas_int8`` (opt-in) = the quantized int8-MXU kernel
+    (ops/pallas/srnet_kernel_int8.py) — heads must be pre-quantized with
+    ``quantize_lerf_params``.
     """
     if backend == "auto":
         return "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend not in ("xla", "pallas", "pallas_int8"):
+        raise ValueError(f"unknown backend {backend!r}")
     return backend
+
+
+def quantize_lerf_params(params: Dict, *, interval: int = 4) -> Dict:
+    """Post-training int8 quantization of every SRUnit head (host, once).
+
+    Same pytree key structure as ``init_lerf_nets`` output, so the
+    ``predict_stage*`` functions index it unchanged; pass the result as
+    ``params`` with ``backend="pallas_int8"``.  Calibration sweeps the 17⁴
+    deploy input lattice (the LUT-transfer enumeration).
+    """
+    from ..lut.transfer import lattice_inputs
+    from ..ops.pallas.srnet_kernel_int8 import quantize_srunit_head
+
+    calib = lattice_inputs(interval)
+    return {sk: {name: quantize_srunit_head(
+                 jax.tree.map(np.asarray, head), calib)
+                 for name, head in params[sk].items()}
+            for sk in ("s1", "s2")}
 
 
 def _ensemble_pred(heads, x, members, half, *, backend: str,
@@ -189,6 +212,14 @@ def _ensemble_pred(heads, x, members, half, *, backend: str,
     """Σ_m round(member_m · half): XLA (differentiable, round_ste) or the
     fused Pallas VMEM-chain kernel (inference-only — see
     ops/pallas/srnet_kernel.py; ~5× on chip, BASELINE.md)."""
+    if backend == "pallas_int8":
+        from ..ops.pallas.srnet_kernel_int8 import (
+            ensemble_sum_on_image_int8, ensemble_sum_on_image_int8_ref)
+        if interpret or jax.default_backend() == "tpu":
+            return ensemble_sum_on_image_int8(heads, x, members, half=half,
+                                              interpret=interpret)
+        # same quantized arithmetic as plain XLA ops — CPU/GPU execution
+        return ensemble_sum_on_image_int8_ref(heads, x, members, half=half)
     if backend == "pallas":
         from ..ops.pallas.srnet_kernel import ensemble_sum_on_image
         dt = heads[0]["w1"].dtype

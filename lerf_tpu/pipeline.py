@@ -98,11 +98,16 @@ class NetPredictor:
 
         ``backend``: "auto" (default) runs the fused Pallas ensemble kernel
         on TPU (6.4× the XLA chain — BASELINE.md) and the XLA path
-        elsewhere; "xla"/"pallas" force one.  Inference only either way.
+        elsewhere; "xla"/"pallas" force one; "pallas_int8" (opt-in) runs
+        the quantized int8-MXU kernel — heads are post-training-quantized
+        here, once, against the 17⁴ deploy lattice (quality deltas:
+        BASELINE.md "int8 serving form").  Inference only either way.
         """
         from .models import srnet
 
         backend = srnet.resolve_backend(backend)
+        if backend == "pallas_int8":
+            params = srnet.quantize_lerf_params(params)
 
         def s1(p, x):
             return srnet.predict_stage1(p, x, modes=modes, stages=stages,
