@@ -33,6 +33,9 @@ class UpscaleConfig(TestConfig):
     form: str = "lut"            # lut | net
     matrix: str = ""             # 9 comma floats → homography warp mode
     out_size: str = ""           # HxW for warp mode
+    bucket: int = 0              # >0: bucketed serving granularity (LUT form;
+                                 # one compiled program per shape bucket —
+                                 # pipeline.upscale_bucketed)
 
 
 def build_predictor(cfg: UpscaleConfig):
@@ -71,7 +74,10 @@ def main(argv=None):
             sh, sw = (float(v) for v in s.split("x"))
         else:
             sh = sw = float(s)
-        out = pred.upscale(img, sh, sw)
+        if cfg.bucket > 0 and hasattr(pred, "upscale_bucketed"):
+            out = pred.upscale_bucketed(img, sh, sw, granularity=cfg.bucket)
+        else:
+            out = pred.upscale(img, sh, sw)
 
     os.makedirs(os.path.dirname(os.path.abspath(cfg.output)), exist_ok=True)
     Image.fromarray(out).save(cfg.output)

@@ -354,25 +354,43 @@ class LutPredictor:
         self._inter = [_device_tables(t) for t in inter]
         self._resize_cache: Dict = {}
         self._warp_cache: Dict = {}
+        self._bucket_cache: Dict = {}
 
     # -- stages -------------------------------------------------------------
 
-    def _stages_fn(self, img_i32):
+    def _stages_fn(self, img_i32, clamp_hw=None):
         """img [C,H,W] int32 → (feat int32 [C,H,W], hyper_u8 int32 [C,H,W,oC]).
 
         Stage loop parity: eval_lut_sr.py:541-577 — each feature stage uses
         its OWN table set; intermediate stages average over modes·4 with a
         +norm//2 bias, the final feature stage over modes with no bias.
+
+        ``clamp_hw=(h, w)`` (traced scalars) re-clamps rows/cols beyond the
+        valid region to the last valid index after EVERY stage — on a
+        bucket-padded input this reproduces the exact replicate-padding
+        values the unpadded program would feed the next stage, making
+        bucketed serving bit-exact (see :meth:`upscale_bucketed`).
         """
+        def cl(t, h_ax, w_ax):
+            if clamp_hw is None:
+                return t
+            h, w = clamp_hw
+            rows = jnp.minimum(jnp.arange(t.shape[h_ax]), h - 1)
+            cols = jnp.minimum(jnp.arange(t.shape[w_ax]), w - 1)
+            return jnp.take(jnp.take(t, rows, axis=h_ax), cols, axis=w_ax)
+
         interval = self.bank.interval
         feat = img_i32
         for tables in self._inter:
             feat = lut_stage1_intermediate(feat, tables, self.modes,
                                            interval=interval, norm=self.norm)
+            feat = cl(feat, -2, -1)
         feat = lut_stage1(feat, self._s1, self.modes,
                           interval=interval, norm=self.norm)
+        feat = cl(feat, -2, -1)
         hyper = lut_stage2(feat, self._s2, self.modes2, interval=interval,
                            norm=self.norm)
+        hyper = cl(hyper, -3, -2)
         return feat, hyper
 
     # -- SR -----------------------------------------------------------------
@@ -412,6 +430,82 @@ class LutPredictor:
         if return_aux:
             return out_u8, np.asarray(feat), np.asarray(hyper)
         return out_u8
+
+    # -- bucketed serving ---------------------------------------------------
+
+    def _bucket_fn(self, bucket_sz: Tuple[int, int],
+                   scale: Tuple[float, float]):
+        key = (bucket_sz, scale)
+        if key not in self._bucket_cache:
+            geom = ResizeGeometry.create(bucket_sz, scale_factors=list(scale),
+                                         support=self.supp_size)
+
+            @jax.jit
+            def run(img_i32, h, w):
+                feat, hyper = self._stages_fn(img_i32, clamp_hw=(h, w))
+                # the resample zero-pads the IMAGE (reference constant-pad
+                # semantics) but replicate-pads the hyper maps — so feat
+                # beyond (h, w) must be ZERO for the neighbor gather while
+                # hyper stays clamped-replicated (see _stages_fn clamp)
+                valid = ((jnp.arange(bucket_sz[0]) < h)[:, None]
+                         & (jnp.arange(bucket_sz[1]) < w)[None, :])
+                featf = jnp.where(valid, feat, 0).astype(jnp.float32)
+                if self.linear:
+                    alpha = hyper[..., 0].astype(jnp.float32) / self.norm
+                    out = amplified_linear_resize(featf, alpha, geom)
+                else:
+                    rho, sx, sy = split_gaussian_hyper(hyper, self.norm)
+                    out = steering_gaussian_resize(featf, rho, sx, sy, geom,
+                                                   max_sigma=self.max_sigma)
+                return _quantize_device(out, self.norm)
+
+            self._bucket_cache[key] = run
+        return self._bucket_cache[key]
+
+    def upscale_bucketed(self, img_hwc: np.ndarray, scale_h: float,
+                         scale_w: float, granularity: int = 64):
+        """Serving without per-shape recompiles: ONE compiled program per
+        (shape bucket, scale) instead of per image shape.
+
+        The image is edge-replicate padded up to the next ``granularity``
+        multiple, the stage ensembles re-clamp rows/cols after every stage
+        (reproducing the unpadded program's replicate-pad values exactly),
+        and the resize runs on the bucket geometry — **bit-identical** to
+        :meth:`upscale` (tests/test_bucketed.py) because the projection grid
+        ``g(o) = o/s - 1/2 + 1/(2s)`` is translation-invariant whenever
+        ``out_sz == scale·in_sz`` exactly.  When that alignment fails for
+        either the real or the bucket shape (fractional scales on
+        non-multiple sizes, where the reference's ``ceil`` output size
+        breaks invariance — resize_right2d_numpy.py:25-49), falls back to
+        the exact per-shape path.
+
+        The reference recomputes ``set_shape`` per image on the host
+        (eval_lut_sr.py:644-646); per-shape jit is the TPU analog of that,
+        and this is the serving-friendly replacement (SURVEY §7 "static
+        shapes" hard part).
+        """
+        img = np.asarray(img_hwc)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        h, w = img.shape[:2]
+        sh, sw = float(scale_h), float(scale_w)
+        g = int(granularity)
+        hb, wb = -(-h // g) * g, -(-w // g) * g
+
+        def aligned(n, s):
+            return abs(n * s - round(n * s)) < 1e-9
+
+        if not (aligned(h, sh) and aligned(w, sw)
+                and aligned(hb, sh) and aligned(wb, sw)):
+            return self.upscale(img, sh, sw)
+
+        padded = np.pad(img, ((0, hb - h), (0, wb - w), (0, 0)), mode="edge")
+        chw = np.ascontiguousarray(padded.transpose(2, 0, 1)).astype(np.int32)
+        run = self._bucket_fn((hb, wb), (sh, sw))
+        out = run(jnp.asarray(chw), jnp.asarray(h, jnp.int32),
+                  jnp.asarray(w, jnp.int32))
+        out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
+        return out_u8[:int(round(h * sh)), :int(round(w * sw))]
 
     def upscale_batch(self, imgs_bhwc: np.ndarray, scale_h: float,
                       scale_w: float) -> np.ndarray:

@@ -1,0 +1,57 @@
+"""Bucketed serving: one compiled program per (shape bucket, scale).
+
+upscale_bucketed pads to the bucket with edge replication, re-clamps
+rows/cols after every LUT stage, and crops the bucket-geometry resize — the
+claim is BIT-equality with the per-shape exact path (pipeline.py docstring
+derivation), plus no recompile across shapes sharing a bucket.
+"""
+import numpy as np
+
+from lerf_tpu.lut.io import LUTBank
+from lerf_tpu.pipeline import LutPredictor
+
+L4 = 17 ** 4
+MODES = ("s", "c", "t")
+
+
+def make_predictor(seed=0):
+    rng = np.random.RandomState(seed)
+    bank = LUTBank(
+        stage1={m: rng.randint(-127, 128, (L4, 1)).astype(np.int8)
+                for m in MODES},
+        stage2={f"{m}r{r}": rng.randint(-127, 128, (L4, 3)).astype(np.int8)
+                for m in MODES for r in (0, 1)},
+        out_c=3)
+    return LutPredictor(bank)
+
+
+def test_bucketed_bit_exact_and_shared_program():
+    pred = make_predictor()
+    rng = np.random.RandomState(1)
+    for h, w in [(11, 13), (16, 9)]:          # both land in the (16,16) bucket
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        want = pred.upscale(img, 2, 2)
+        got = pred.upscale_bucketed(img, 2, 2, granularity=16)
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got, want)
+    assert len(pred._bucket_cache) == 1       # one program served both shapes
+
+    img = rng.randint(0, 256, (23, 18, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(pred.upscale_bucketed(img, 2, 2, 16),
+                                  pred.upscale(img, 2, 2))
+    assert len(pred._bucket_cache) == 2       # (32,32) bucket added
+
+
+def test_bucketed_fractional_aligned_and_fallback():
+    pred = make_predictor(seed=2)
+    rng = np.random.RandomState(3)
+    # 12*2.5 and 16*2.5 are integers -> grid translation-invariant -> exact
+    img = rng.randint(0, 256, (12, 8, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(pred.upscale_bucketed(img, 2.5, 2.5, 16),
+                                  pred.upscale(img, 2.5, 2.5))
+    assert len(pred._bucket_cache) == 1
+    # 11*2.5 is not an integer: invariance breaks, must fall back (exact)
+    img = rng.randint(0, 256, (11, 13, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(pred.upscale_bucketed(img, 2.5, 2.5, 16),
+                                  pred.upscale(img, 2.5, 2.5))
+    assert len(pred._bucket_cache) == 1       # no bucket program was built
