@@ -184,11 +184,15 @@ def bench_net_sr(h, w, scale=SCALE, dtype="float32", backend="auto",
     return (batch or 1) * (h * scale) * (w * scale) / 1e6 / dt
 
 
-def bench_imdn_sr(h, w, scale=SCALE, dtype="float32"):
+def bench_imdn_sr(h, w, scale=SCALE, dtype="float32", backend="auto"):
     """LeRF-Net (IMDN2 conv towers) serving form, random init (no trained
-    IMDN checkpoint ships with the reference snapshot)."""
+    IMDN checkpoint ships with the reference snapshot).
+
+    ``backend`` follows the production dispatch (imdn_s2d.resolve_backend);
+    "s2d" opts into the space-to-depth tower execution."""
     import jax
     import jax.numpy as jnp
+    from lerf_tpu.models import imdn_s2d
     from lerf_tpu.models.imdn import IMDN2
     from lerf_tpu.ops import ResizeGeometry, steering_gaussian_resize
 
@@ -197,15 +201,24 @@ def bench_imdn_sr(h, w, scale=SCALE, dtype="float32"):
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 32, 32, 3), dt_), 0)
     variables = jax.tree.map(lambda x: jnp.asarray(x, dt_), variables)
+    backend = imdn_s2d.resolve_backend(backend)
+    if backend == "s2d":
+        p2 = imdn_s2d.convert_imdn2(variables, 2)
+
+        def tower(x, stage):
+            return imdn_s2d.predict_imdn2_s2d(p2, x, stage, block=2, nf=12,
+                                              dtype=dt_)
+    else:
+        def tower(x, stage):
+            return model.apply(variables, x, stage)
     geom = ResizeGeometry.create((h, w), scale_factors=[scale, scale],
                                  support=2)
 
     @jax.jit
     def pipeline(img):
         nhwc = (img.astype(dt_) / 255.0).transpose(1, 2, 0)[None]
-        feat = model.apply(variables, nhwc, 1)[0].transpose(2, 0, 1)
-        hyper = model.apply(variables, feat[None].transpose(0, 2, 3, 1)
-                            / 255.0, 2)[0]
+        feat = tower(nhwc, 1)[0].transpose(2, 0, 1)
+        hyper = tower(feat[None].transpose(0, 2, 3, 1) / 255.0, 2)[0]
         c = 3
         hyper = hyper.reshape(h, w, 3, c).transpose(3, 0, 1, 2)
         out = steering_gaussian_resize(

@@ -1,0 +1,223 @@
+"""Space-to-depth execution of the IMDN (LeRF-Net) towers.
+
+The reference IMDN_RTC towers (``resample/model.py:475-537``) are stacks of
+3x3 stride-1 convolutions at nf=12 channels.  On TPU a 12-lane minor dim is
+padded to 128 lanes in both HBM layout and MXU tiles, so the stock NHWC
+execution moves ~10x the necessary bytes between every conv and runs the MXU
+at ~1/10 density (BASELINE.md "IMDN form cost note").
+
+This module re-blocks the computation *exactly*: the input is space-to-depth
+re-laid-out by a factor ``b`` (each bxb pixel block becomes b^2 channel
+phases), and every conv kernel is re-embedded on the host into an equivalent
+conv over ``C*b^2`` channels:
+
+    y[i*b+p, j*b+q, k] = sum_{di,dj,c} W[di,dj,c,k] * x[i*b+p+di, j*b+q+dj, c]
+
+becomes, with t = p+di = Di*b+u (and s = q+dj = Dj*b+v),
+
+    y2[i, j, k*b^2+(p,q)] = sum_{Di,Dj,c,(u,v)} W2[Di,Dj, c*b^2+(u,v),
+                                                   k*b^2+(p,q)] * x2[i+Di, j+Dj]
+
+with W2 holding each original tap in exactly one (phase_in, phase_out) slot
+and zeros elsewhere.  The zero-inflation keeps padded-MXU FLOPs identical,
+but the activation minor dim grows 12 -> 12*b^2, cutting padded HBM traffic
+between convs by ~b^2 (b=2: 48 lanes; b=4: 192 lanes) and collapsing b^2
+pixels into each (8,128) tile.
+
+Channel layout is c' = c*b^2 + (u*b + v) (original-channel major), so the
+IMDModule channel splits/concats remain contiguous slices in s2d space.
+
+Exactness: re-indexing only - every output value is the same sum of the same
+products, modulo float summation order (the MXU accumulates the padded K dim
+in f32 either way).  Parity test: tests/test_imdn.py::test_s2d_matches_base.
+
+Non-multiple sizes are zero-padded up to a multiple of b; because a SAME conv
+treats out-of-range taps as zeros, the pad region is re-zeroed after every
+conv (a fused elementwise mask) so no garbage propagates into valid pixels -
+bit-honest for every input size.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def resolve_backend(backend: str) -> str:
+    """Shared by NetPredictor.from_imdn and bench.py so production and
+    benchmark dispatch identically.  "auto" currently resolves to the stock
+    flax path everywhere: the s2d form cuts padded HBM traffic on paper
+    (12 → 48/192 minor lanes), but this repo's int8 experience
+    (BASELINE.md "int8 serving form") says TPU dispatch changes ship only
+    with an on-chip measurement — run tools/exp_imdn_s2d.py on hardware and
+    flip this (with the numbers in BASELINE.md) if s2d wins."""
+    if backend == "auto":
+        return "base"
+    if backend not in ("base", "s2d"):
+        raise ValueError(f"unknown IMDN backend {backend!r}")
+    return backend
+
+
+# -- host-side weight re-embedding -------------------------------------------
+
+def embed_kernel(w: np.ndarray, b: int) -> np.ndarray:
+    """Embed an odd-sized [kh,kw,cin,cout] SAME/stride-1 conv kernel into the
+    equivalent s2d-space kernel [KH,KW,cin*b^2,cout*b^2] (see module doc)."""
+    kh, kw, cin, cout = w.shape
+    if kh % 2 != 1 or kw % 2 != 1:
+        raise ValueError("embed_kernel needs odd kernel sizes")
+    rh, rw = kh // 2, kw // 2
+    Rh, Rw = (b - 1 + rh) // b, (b - 1 + rw) // b
+    w2 = np.zeros((2 * Rh + 1, 2 * Rw + 1, cin * b * b, cout * b * b),
+                  dtype=w.dtype)
+    bb = b * b
+    for p in range(b):
+        for q in range(b):
+            for di in range(-rh, rh + 1):
+                for dj in range(-rw, rw + 1):
+                    t, s = p + di, q + dj
+                    Di, u = t // b, t % b       # floor-div: correct for t<0
+                    Dj, v = s // b, s % b
+                    w2[Di + Rh, Dj + Rw,
+                       u * b + v::bb,
+                       p * b + q::bb] = w[di + rh, dj + rw]
+    return w2
+
+
+def embed_bias(bias: np.ndarray, b: int) -> np.ndarray:
+    """[cout] -> [cout*b^2], each channel repeated over its b^2 phases."""
+    return np.repeat(np.asarray(bias), b * b)
+
+
+def convert_tower(tower_params: Dict, b: int) -> Dict:
+    """Re-embed an IMDN_RTC tower's param tree (flax layout: ``fea``,
+    ``imd{i}.c1..c5``, ``lr``, ``up`` with {kernel,bias}) for s2d-b
+    execution.  Returns a plain dict of jnp arrays."""
+    def emb(p):
+        return {
+            "kernel": jnp.asarray(embed_kernel(np.asarray(p["kernel"]), b)),
+            "bias": jnp.asarray(embed_bias(np.asarray(p["bias"]), b)),
+        }
+
+    out: Dict = {}
+    for name, p in tower_params.items():
+        if name.startswith("imd"):
+            out[name] = {k: emb(v) for k, v in p.items()}
+        else:
+            out[name] = emb(p)
+    return out
+
+
+def convert_imdn2(variables: Dict, b: int) -> Dict:
+    """Re-embed both towers of an IMDN2 variables tree."""
+    params = variables["params"]
+    return {"params": {
+        "stage1": convert_tower(params["stage1"], b),
+        "stage2": convert_tower(params["stage2"], b),
+    }}
+
+
+# -- s2d data movement --------------------------------------------------------
+
+def space_to_depth(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    """NHWC [B,H,W,C] -> [B,H/b,W/b,C*b^2], layout c' = c*b^2 + (u*b+v)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // b, b, W // b, b, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(B, H // b, W // b, C * b * b)
+
+
+def depth_to_space(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    B, H2, W2, Cbb = x.shape
+    C = Cbb // (b * b)
+    x = x.reshape(B, H2, W2, C, b, b)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(B, H2 * b, W2 * b, C)
+
+
+# -- s2d-space forward --------------------------------------------------------
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv(x, p, mask, dtype, b):
+    """SAME conv + bias; ``mask`` (if any) is the [1,H2,W2,b^2] phase-validity
+    mask, re-applied after every conv so zero-padded rows/cols of non-multiple
+    inputs never leak into valid pixels (applied channel-agnostically via a
+    [..., C, b^2] reshape — XLA fuses it into the conv epilogue)."""
+    k = p["kernel"].astype(dtype)
+    y = lax.conv_general_dilated(x.astype(dtype), k, (1, 1), "SAME",
+                                 dimension_numbers=_DN)
+    y = y + p["bias"].astype(dtype)
+    if mask is not None:
+        B, H2, W2, Cbb = y.shape
+        bb = b * b
+        y = (y.reshape(B, H2, W2, Cbb // bb, bb)
+             * mask.reshape(1, H2, W2, 1, bb)).reshape(y.shape)
+    return y
+
+
+def _lrelu(x):
+    return jnp.where(x >= 0, x, 0.05 * x)
+
+
+def _imd_module(x, p, dc2, mask, dtype, b):
+    """IMDModuleSpeed (model.py:480-503) in s2d space; dc2 = dc*b^2."""
+    c1 = _lrelu(_conv(x, p["c1"], mask, dtype, b))
+    d1, r1 = c1[..., :dc2], c1[..., dc2:]
+    c2 = _lrelu(_conv(r1, p["c2"], mask, dtype, b))
+    d2, r2 = c2[..., :dc2], c2[..., dc2:]
+    c3 = _lrelu(_conv(r2, p["c3"], mask, dtype, b))
+    d3, r3 = c3[..., :dc2], c3[..., dc2:]
+    c4 = _conv(r3, p["c4"], mask, dtype, b)
+    out = jnp.concatenate([d1, d2, d3, c4], axis=-1)
+    return _conv(out, p["c5"], mask, dtype, b) + x
+
+
+def apply_tower_s2d(p2: Dict, x: jnp.ndarray, *, block: int, nf: int = 12,
+                    num_modules: int = 5, distillation_rate: float = 0.25,
+                    dtype: Any = jnp.float32) -> jnp.ndarray:
+    """IMDN_RTC forward (upscale=1) with s2d-``block`` re-layout.
+
+    ``x``: NHWC float in model units.  Handles any H,W (zero-pad + per-conv
+    re-mask for non-multiples).  Returns NHWC [B,H,W,out_nc].
+    """
+    b = block
+    B, H, W, C = x.shape
+    Hp, Wp = -(-H // b) * b, -(-W // b) * b
+    mask = None
+    if (Hp, Wp) != (H, W):
+        x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+        m = np.zeros((Hp, Wp), np.float32)
+        m[:H, :W] = 1.0
+        m2 = space_to_depth(jnp.asarray(m)[None, :, :, None], b)  # [1,H2,W2,b^2]
+        mask = m2.astype(dtype)
+
+    x2 = space_to_depth(x, b)
+
+    dc2 = int(nf * distillation_rate) * b * b
+    h = _conv(x2, p2["fea"], mask, dtype, b)
+    r = h
+    for i in range(num_modules):
+        r = _imd_module(r, p2[f"imd{i}"], dc2, mask, dtype, b)
+    r = _conv(r, p2["lr"], mask, dtype, b)
+    h = h + r
+    up = _conv(h, p2["up"], None, dtype, b)   # output is cropped; no mask
+    out = depth_to_space(up, b)
+    return out[:, :H, :W, :]
+
+
+def predict_imdn2_s2d(p2: Dict, x: jnp.ndarray, stage: int, *, block: int,
+                      nf: int = 12, norm: int = 255,
+                      dtype: Any = jnp.float32):
+    """IMDN2.predict (model.py:526-537) on s2d-converted params ``p2``
+    (from :func:`convert_imdn2`).  x NHWC in [0,1]."""
+    params = p2["params"][f"stage{stage}"]
+    y = apply_tower_s2d(params, x, block=block, nf=nf, dtype=dtype)
+    half = norm // 2
+    if stage == 2:
+        return jnp.clip(y, -1, 1) / 2 + 0.5
+    return jnp.clip(y, -1, 1) * half + half

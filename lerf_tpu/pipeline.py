@@ -125,26 +125,50 @@ class NetPredictor:
     @classmethod
     def from_imdn(cls, model, variables, *, out_c: int = 3,
                   linear: bool = False, supp_size: int = 2,
-                  max_sigma: float = 10.0, norm: int = 255):
+                  max_sigma: float = 10.0, norm: int = 255,
+                  backend: str = "auto", s2d_block: int = 2):
         """LeRF-Net / LeRF-Net++ (IMDN2 flax module, inC=3).
 
         Hyper layout parity: stage2 emits 3·featC channels ordered
         [ρ·featC, σx·featC, σy·featC] (eval_model.py:149) → reshaped to the
         trailing-axis convention [C,H,W,oC] with oC blocks outermost.
+
+        ``backend``: "s2d" runs the towers via the space-to-depth
+        re-embedding (the stock NHWC path pads the 12-channel minor dim to
+        128 lanes on every conv; s2d-``s2d_block`` cuts that padded HBM
+        traffic ~block² with bit-honest re-indexed weights —
+        models/imdn_s2d.py).  "auto" = stock path until an on-chip
+        measurement proves s2d out (imdn_s2d.resolve_backend).
         """
+        from .models.imdn_s2d import resolve_backend
+        backend = resolve_backend(backend)
+        if backend == "s2d":
+            from .models.imdn_s2d import convert_imdn2, predict_imdn2_s2d
+            variables = convert_imdn2(variables, s2d_block)
+            nf, dtype = model.nf, model.dtype
+
+            def apply_fn(p, x, stage):
+                return predict_imdn2_s2d(p, x, stage, block=s2d_block,
+                                         nf=nf, norm=norm, dtype=dtype)
+        elif backend == "base":
+            def apply_fn(p, x, stage):
+                return model.apply(p, x, stage)
+        else:
+            raise ValueError(f"unknown IMDN backend {backend!r}")
+
         def to_nhwc(x):                    # [..., C, H, W] → NHWC batch
             nhwc = jnp.moveaxis(x, -3, -1)
             return (nhwc[None], True) if nhwc.ndim == 3 else (nhwc, False)
 
         def s1(p, x):                      # x [..., C,H,W] → [..., C,H,W]
             nhwc, single = to_nhwc(x)
-            out = model.apply(p, nhwc, 1)
+            out = apply_fn(p, nhwc, 1)
             out = out[0] if single else out
             return jnp.moveaxis(out, -1, -3)
 
         def s2(p, x):
             nhwc, single = to_nhwc(x)
-            out = model.apply(p, nhwc, 2)             # [B,H,W,3·C]
+            out = apply_fn(p, nhwc, 2)                # [B,H,W,3·C]
             out = out[0] if single else out
             c = x.shape[-3]
             # [..., H,W,oC,C] → [..., C,H,W,oC]

@@ -72,6 +72,47 @@ def test_imdn_train_step_runs():
     assert losses[-1] < losses[0]
 
 
+def test_s2d_matches_base():
+    """Space-to-depth IMDN execution (models/imdn_s2d.py) is an exact
+    re-indexing of the stock NHWC towers — parity to float-summation-order
+    tolerance, on b-multiple AND non-multiple sizes (the zero-pad +
+    per-conv re-mask path), for both blocking factors."""
+    from lerf_tpu.models import imdn_s2d as s2d
+
+    model = IMDN2(in_c=3, out_c=3, nf=12)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 16, 16, 3)), 0)
+    rng = np.random.RandomState(1)
+    for (h, w) in [(16, 16), (11, 13)]:
+        x = jnp.asarray(rng.rand(2, h, w, 3), jnp.float32)
+        for b in (2, 4):
+            p2 = s2d.convert_imdn2(variables, b)
+            for stage in (1, 2):
+                want = np.asarray(model.apply(variables, x, stage))
+                got = np.asarray(
+                    s2d.predict_imdn2_s2d(p2, x, stage, block=b))
+                atol = 1e-3 if stage == 1 else 1e-5   # stage1 is [0,255]
+                np.testing.assert_allclose(got, want, atol=atol, rtol=0)
+
+
+def test_net_predictor_imdn_s2d_backend():
+    """NetPredictor.from_imdn(backend='s2d') serves the same pixels as the
+    base backend (uint8 outputs may differ only at exact rounding ties)."""
+    model, variables = make_model(nf=12)
+    base = NetPredictor.from_imdn(model, variables, out_c=3, backend="base")
+    fast = NetPredictor.from_imdn(model, variables, out_c=3, backend="s2d")
+    img = np.random.RandomState(2).randint(0, 256, (11, 14, 3),
+                                           dtype=np.uint8)
+    a = base.upscale(img, 2, 2).astype(np.int32)
+    b = fast.upscale(img, 2, 2).astype(np.int32)
+    assert np.abs(a - b).max() <= 1
+    matrix = np.linalg.inv(np.diag([0.5, 0.5, 1.0]))
+    wa, ma = base.warp(img, matrix, (22, 28))
+    wb, mb = fast.warp(img, matrix, (22, 28))
+    assert np.array_equal(ma, mb)
+    assert np.abs(wa.astype(np.int32) - wb.astype(np.int32)).max() <= 1
+
+
 def test_imdn2_bit_parity_vs_reference_torch():
     """Random-init reference torch IMDN2 -> converter -> flax forward parity.
 
