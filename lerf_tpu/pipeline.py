@@ -57,6 +57,42 @@ def _quantize_host(arr, norm):
     return np.clip(np.round(a), 0, norm).astype(np.uint8)
 
 
+def _clamp_valid(t, h_ax, w_ax, clamp_hw):
+    """Re-clamp rows/cols beyond the valid (h, w) region to the last valid
+    index — on a bucket-padded tensor this reproduces the replicate-padding
+    values the unpadded program's next stage would see (bucketed serving)."""
+    if clamp_hw is None:
+        return t
+    h, w = clamp_hw
+    rows = jnp.minimum(jnp.arange(t.shape[h_ax]), h - 1)
+    cols = jnp.minimum(jnp.arange(t.shape[w_ax]), w - 1)
+    return jnp.take(jnp.take(t, rows, axis=h_ax), cols, axis=w_ax)
+
+
+def _bucket_prep(img_hwc, scale_h, scale_w, granularity):
+    """Host-side prep shared by the bucketed-serving entry points.
+
+    Returns ``(padded_hwc, (hb, wb), (h, w))`` with edge-replicate padding
+    up to the next ``granularity`` multiple, or ``None`` when the projection
+    grid ``g(o) = o/s - 1/2 + 1/(2s)`` is not translation-invariant for both
+    the real and the bucket shape (``out == scale·in`` must hold exactly;
+    the reference's ``ceil`` output size breaks invariance otherwise —
+    resize_right2d_numpy.py:25-49) and the caller must fall back to the
+    exact per-shape path."""
+    h, w = img_hwc.shape[:2]
+    g = int(granularity)
+    hb, wb = -(-h // g) * g, -(-w // g) * g
+
+    def aligned(n, s):
+        return abs(n * s - round(n * s)) < 1e-9
+
+    if not (aligned(h, scale_h) and aligned(w, scale_w)
+            and aligned(hb, scale_h) and aligned(wb, scale_w)):
+        return None
+    padded = np.pad(img_hwc, ((0, hb - h), (0, wb - w), (0, 0)), mode="edge")
+    return padded, (hb, wb), (h, w)
+
+
 class NetPredictor:
     """Two-stage *network* inference: feature net → hyper net → resample.
 
@@ -72,7 +108,7 @@ class NetPredictor:
     def __init__(self, params, stage1_fn, stage2_fn, *, linear: bool = False,
                  two_stage: bool = True, supp_size: int = 2,
                  max_sigma: float = 10.0, norm: int = 255,
-                 hyper_u8: bool = False):
+                 hyper_u8: bool = False, stage_pad: str = "replicate"):
         self.params = params
         self.stage1_fn = stage1_fn
         self.stage2_fn = stage2_fn
@@ -85,8 +121,14 @@ class NetPredictor:
         # (SRNet forms) — enables the u8 row-packed warp gather.  IMDN
         # hyper maps are continuous, so the IMDN form keeps float rows.
         self.hyper_u8 = hyper_u8
+        # Edge semantics of the stage fns: "replicate" (SRNet pixel-MLPs,
+        # _pad_all_sides) supports bucketed serving via post-stage
+        # re-clamping; "zero" (IMDN SAME convs) would need in-stage masks,
+        # so upscale_bucketed falls back to the exact per-shape path.
+        self.stage_pad = stage_pad
         self._resize_cache: Dict = {}
         self._warp_cache: Dict = {}
+        self._bucket_cache: Dict = {}
 
     @classmethod
     def from_srnets(cls, params, *, modes=("s", "c", "t"),
@@ -176,17 +218,24 @@ class NetPredictor:
             return jnp.moveaxis(out, -1, -4)
 
         return cls(variables, s1, s2, linear=linear, supp_size=supp_size,
-                   max_sigma=max_sigma, norm=norm)
+                   max_sigma=max_sigma, norm=norm, stage_pad="zero")
 
-    def _stages(self, img_f):
-        """img [C,H,W] float in [0,1] → (feat [0,255], hyper [C,H,W,oC])."""
+    def _stages(self, img_f, clamp_hw=None):
+        """img [C,H,W] float in [0,1] → (feat [0,255], hyper [C,H,W,oC]).
+
+        ``clamp_hw=(h, w)``: bucketed serving — re-clamp each stage output
+        beyond the valid region so the next stage (whose replicate padding
+        reads the tensor edge) sees exactly the values of the unpadded
+        program (see LutPredictor._stages_fn)."""
         if self.two_stage:
             feat = self.stage1_fn(self.params, img_f)
+            feat = _clamp_valid(feat, -2, -1, clamp_hw)
             hyper_in = feat / float(self.norm)
         else:
             feat = jnp.round(img_f * self.norm)
             hyper_in = img_f
         hyper = self.stage2_fn(self.params, hyper_in)
+        hyper = _clamp_valid(hyper, -3, -2, clamp_hw)
         return feat, hyper
 
     def _resize_fn(self, in_sz, scale):
@@ -227,6 +276,61 @@ class NetPredictor:
         if return_aux:
             return out_u8, np.asarray(feat), np.asarray(hyper)
         return out_u8
+
+    def _bucket_fn(self, bucket_sz, scale):
+        key = (bucket_sz, scale)
+        if key not in self._bucket_cache:
+            geom = ResizeGeometry.create(bucket_sz, scale_factors=list(scale),
+                                         support=self.supp_size)
+
+            @jax.jit
+            def run(img_f, h, w):
+                feat, hyper = self._stages(img_f, clamp_hw=(h, w))
+                # the resample constant-pads the image but replicate-pads
+                # the hyper maps — feat beyond (h, w) must be ZERO for the
+                # neighbor gather while hyper stays clamped-replicated
+                valid = ((jnp.arange(bucket_sz[0]) < h)[:, None]
+                         & (jnp.arange(bucket_sz[1]) < w)[None, :])
+                feat = jnp.where(valid, feat, 0)
+                if self.linear:
+                    out = amplified_linear_resize(feat, hyper[..., 0], geom)
+                else:
+                    out = steering_gaussian_resize(
+                        feat, hyper[..., 0], hyper[..., 1], hyper[..., 2],
+                        geom, max_sigma=self.max_sigma)
+                return _quantize_device(out, self.norm)
+
+            self._bucket_cache[key] = run
+        return self._bucket_cache[key]
+
+    def upscale_bucketed(self, img_hwc: np.ndarray, scale_h: float,
+                         scale_w: float, granularity: int = 64):
+        """Net-form serving without per-shape recompiles: one compiled
+        program per (shape bucket, scale) — same construction as
+        :meth:`LutPredictor.upscale_bucketed` (edge-replicate pad, post-stage
+        re-clamp, bucket-geometry resize, crop), valid because the SRNet
+        stage fns use replicate padding (_pad_all_sides) exactly like the
+        LUT stages.  Falls back to the exact per-shape path when grid
+        translation-invariance can't hold or when the stage fns use
+        zero-pad convs (the IMDN form — in-stage masks would be needed)."""
+        img = np.asarray(img_hwc)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        sh, sw = float(scale_h), float(scale_w)
+        if sh == 1.0 and sw == 1.0:
+            return self.upscale(img, sh, sw)
+        prep = None if self.stage_pad != "replicate" else \
+            _bucket_prep(img, sh, sw, granularity)
+        if prep is None:
+            return self.upscale(img, sh, sw)
+        padded, (hb, wb), (h, w) = prep
+        chw = np.ascontiguousarray(padded.transpose(2, 0, 1)) \
+            .astype(np.float32) / self.norm
+        run = self._bucket_fn((hb, wb), (sh, sw))
+        out = run(jnp.asarray(chw), jnp.asarray(h, jnp.int32),
+                  jnp.asarray(w, jnp.int32))
+        out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
+        return out_u8[:int(round(h * sh)), :int(round(w * sw))]
 
     def upscale_batch(self, imgs_bhwc: np.ndarray, scale_h: float,
                       scale_w: float) -> np.ndarray:
@@ -396,12 +500,7 @@ class LutPredictor:
         bucketed serving bit-exact (see :meth:`upscale_bucketed`).
         """
         def cl(t, h_ax, w_ax):
-            if clamp_hw is None:
-                return t
-            h, w = clamp_hw
-            rows = jnp.minimum(jnp.arange(t.shape[h_ax]), h - 1)
-            cols = jnp.minimum(jnp.arange(t.shape[w_ax]), w - 1)
-            return jnp.take(jnp.take(t, rows, axis=h_ax), cols, axis=w_ax)
+            return _clamp_valid(t, h_ax, w_ax, clamp_hw)
 
         interval = self.bank.interval
         feat = img_i32
@@ -511,19 +610,11 @@ class LutPredictor:
         img = np.asarray(img_hwc)
         if img.ndim == 2:
             img = np.stack([img] * 3, axis=-1)
-        h, w = img.shape[:2]
         sh, sw = float(scale_h), float(scale_w)
-        g = int(granularity)
-        hb, wb = -(-h // g) * g, -(-w // g) * g
-
-        def aligned(n, s):
-            return abs(n * s - round(n * s)) < 1e-9
-
-        if not (aligned(h, sh) and aligned(w, sw)
-                and aligned(hb, sh) and aligned(wb, sw)):
+        prep = _bucket_prep(img, sh, sw, granularity)
+        if prep is None:
             return self.upscale(img, sh, sw)
-
-        padded = np.pad(img, ((0, hb - h), (0, wb - w), (0, 0)), mode="edge")
+        padded, (hb, wb), (h, w) = prep
         chw = np.ascontiguousarray(padded.transpose(2, 0, 1)).astype(np.int32)
         run = self._bucket_fn((hb, wb), (sh, sw))
         out = run(jnp.asarray(chw), jnp.asarray(h, jnp.int32),

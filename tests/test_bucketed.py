@@ -7,8 +7,11 @@ derivation), plus no recompile across shapes sharing a bucket.
 """
 import numpy as np
 
+import jax
+
 from lerf_tpu.lut.io import LUTBank
-from lerf_tpu.pipeline import LutPredictor
+from lerf_tpu.models import srnet
+from lerf_tpu.pipeline import LutPredictor, NetPredictor
 
 L4 = 17 ** 4
 MODES = ("s", "c", "t")
@@ -40,6 +43,38 @@ def test_bucketed_bit_exact_and_shared_program():
     np.testing.assert_array_equal(pred.upscale_bucketed(img, 2, 2, 16),
                                   pred.upscale(img, 2, 2))
     assert len(pred._bucket_cache) == 2       # (32,32) bucket added
+
+
+def test_net_bucketed_matches_exact():
+    """NetPredictor (SRNet form, replicate-pad stages) bucketed serving:
+    same clamp construction as the LUT path; float stages make bit-equality
+    shape-dependent in principle, so allow exact-rounding-tie slack only."""
+    params = srnet.init_lerf_nets(jax.random.PRNGKey(0), nf=8, out_c=3)
+    pred = NetPredictor.from_srnets(params)
+    rng = np.random.RandomState(4)
+    for h, w in [(11, 13), (16, 9)]:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        want = pred.upscale(img, 2, 2).astype(np.int32)
+        got = pred.upscale_bucketed(img, 2, 2, granularity=16).astype(np.int32)
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() <= 1
+        assert (got != want).mean() < 1e-3
+    assert len(pred._bucket_cache) == 1
+
+
+def test_net_bucketed_imdn_falls_back():
+    """The IMDN form's zero-pad convs can't use the clamp trick; bucketed
+    must silently serve through the exact per-shape path."""
+    from lerf_tpu.models.imdn import IMDN2
+    import jax.numpy as jnp
+    model = IMDN2(in_c=3, out_c=3, nf=12)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), 0)
+    pred = NetPredictor.from_imdn(model, variables, out_c=3)
+    img = np.random.RandomState(5).randint(0, 256, (11, 13, 3),
+                                           dtype=np.uint8)
+    np.testing.assert_array_equal(pred.upscale_bucketed(img, 2, 2, 16),
+                                  pred.upscale(img, 2, 2))
+    assert len(pred._bucket_cache) == 0
 
 
 def test_bucketed_fractional_aligned_and_fallback():
