@@ -268,6 +268,41 @@ def bench_latency(form, h, w, scale=SCALE, iters=50):
     return times[len(times) // 2], times[int(len(times) * 0.99)]
 
 
+def bench_bucketed(h, w, scale=SCALE, iters=40, granularity=64):
+    """Mixed-shape serving through ONE bucket program
+    (LutPredictor.upscale_bucketed): p50 ms/frame across distinct input
+    shapes sharing a bucket.  The exact per-shape path compiles a new
+    executable per shape (minutes each for TPU gather programs on this
+    stack); the bucket program compiles once and stays bit-identical."""
+    from lerf_tpu.lut.io import LUTBank
+    from lerf_tpu.pipeline import LutPredictor
+
+    try:
+        from lerf_tpu.lut.io import load_lut_bank
+        bank = load_lut_bank("/root/reference/models/lerf-g", out_c=3)
+    except Exception:
+        s1, s2 = load_flat_luts()
+        bank = LUTBank(stage1={m: v.astype(np.int8) for m, v in s1.items()},
+                       stage2={k: v.astype(np.int8) for k, v in s2.items()},
+                       out_c=3)
+    pred = LutPredictor(bank)
+    shapes = [(h, w), (h - 7, w - 9), (h - 13, w - 1), (h - 24, w - 17)]
+    rng = np.random.RandomState(0)
+    imgs = [rng.randint(0, 256, (sh, sw, 3), dtype=np.uint8)
+            for sh, sw in shapes]
+    for im in imgs:                                     # compile + warm
+        pred.upscale_bucketed(im, scale, scale, granularity=granularity)
+    assert len(pred._bucket_cache) == 1, "shapes must share one program"
+    times = []
+    for i in range(iters):
+        im = imgs[i % len(imgs)]
+        t0 = time.perf_counter()
+        pred.upscale_bucketed(im, scale, scale, granularity=granularity)
+        times.append((time.perf_counter() - t0) * 1e3)
+    times.sort()
+    return times[len(times) // 2], len(shapes)
+
+
 def bench_train(batch=16, crop=48, scale=4, iters=30):
     """Full SPMD training-step throughput at the reference's default config
     (train_model.py / option.py: B=16, cropSize=48, ×4, inC=1): both micro-net
@@ -338,6 +373,9 @@ def main(argv=None):
             p50, p99 = bench_latency(form, LR_H, LR_W)
             emit(f"lerf_g_{form}_sr_x4_latency_p50", p50, unit="ms")
             emit(f"lerf_g_{form}_sr_x4_latency_p99", p99, unit="ms")
+        p50, nshapes = bench_bucketed(LR_H, LR_W)
+        emit("lerf_g_lut_sr_x4_bucketed_mixed_shape_latency_p50", p50,
+             unit=f"ms_across_{nshapes}_shapes_one_program")
 
 
 if __name__ == "__main__":
