@@ -38,7 +38,8 @@ def main(argv=None, datasets=None, scales=None):
         all_results[ds] = run_sr_benchmark(
             pred, cfg.test_dir, ds, [tuple(s) for s in scales],
             result_root=cfg.result_root, exp_name=exp_name,
-            lut_name=cfg.lut_name, post=post, nsigma=cfg.nsigma)
+            lut_name=cfg.lut_name, post=post, nsigma=cfg.nsigma,
+            bucket=cfg.bucket)
     table = format_sr_table(all_results, scales)
     print(table)
     return all_results

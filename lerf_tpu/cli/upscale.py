@@ -33,9 +33,8 @@ class UpscaleConfig(TestConfig):
     form: str = "lut"            # lut | net
     matrix: str = ""             # 9 comma floats → homography warp mode
     out_size: str = ""           # HxW for warp mode
-    bucket: int = 0              # >0: bucketed serving granularity — one
-                                 # compiled program per shape bucket (LUT and
-                                 # SRNet net forms; pipeline.upscale_bucketed)
+    # (``bucket`` inherited from TestConfig: >0 enables bucketed serving —
+    # LUT and SRNet net forms, pipeline.upscale_bucketed)
 
 
 def build_predictor(cfg: UpscaleConfig):

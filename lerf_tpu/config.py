@@ -165,6 +165,11 @@ class TestConfig(BaseConfig):
     datasets: str = "Set5"       # comma list of benchmark sets
     scales: str = "2,3,4"        # comma list; 'HxW' pairs allowed
     backend: str = "auto"        # net ensemble: auto|pallas|xla|pallas_int8
+    bucket: int = 0              # >0: bucketed serving granularity — one
+                                 # compiled program per shape bucket instead
+                                 # of per image shape (bit-identical with
+                                 # automatic exact fallback;
+                                 # pipeline.upscale_bucketed)
 
     def dataset_list(self):
         return [d for d in self.datasets.split(",") if d]

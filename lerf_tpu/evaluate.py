@@ -32,15 +32,20 @@ def run_sr_benchmark(predictor, root: str, dataset: str,
                      scales: Sequence[Tuple[float, float]],
                      result_root: Optional[str] = None,
                      exp_name: str = "lerf", lut_name: str = "LUTft",
-                     post: int = 1, nsigma: float = -1.0) -> Dict:
+                     post: int = 1, nsigma: float = -1.0,
+                     bucket: int = 0) -> Dict:
     """Evaluate arbitrary-scale SR on one dataset.
 
     ``post`` divides the resampling scale for pre-upsampled inputs
     (LeRF-Net++ convention, eval_lut_sr.py:630-646); ``nsigma`` > 0 enables
-    noisy (denoising-mode) evaluation.
+    noisy (denoising-mode) evaluation.  ``bucket`` > 0 serves through
+    ``upscale_bucketed`` — one compiled program per shape bucket instead of
+    one per image shape (bit-identical; the big lever against TPU
+    per-shape gather-compile latency on fresh caches).
     Returns {scale: (avg_psnr, avg_ssim)}.
     """
     bench = SRBenchmark(root, dataset, nsigma=nsigma)
+    bucketed = bucket > 0 and hasattr(predictor, "upscale_bucketed")
     results = {}
     for (sh, sw) in scales:
         vals: List[Tuple[float, float]] = []
@@ -51,7 +56,11 @@ def run_sr_benchmark(predictor, root: str, dataset: str,
             os.makedirs(out_dir, exist_ok=True)
         for i in range(len(bench)):
             lr, hr, name = bench.pair(i, sh, sw)
-            out = predictor.upscale(lr, sh / post, sw / post)
+            if bucketed:
+                out = predictor.upscale_bucketed(lr, sh / post, sw / post,
+                                                 granularity=bucket)
+            else:
+                out = predictor.upscale(lr, sh / post, sw / post)
             vals.append(eval_sr_image(out, hr, sh, sw))
             if out_dir is not None:
                 save_image(os.path.join(out_dir, f"{name[:-4]}_{lut_name}.png"),

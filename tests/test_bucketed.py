@@ -77,6 +77,40 @@ def test_net_bucketed_imdn_falls_back():
     assert len(pred._bucket_cache) == 0
 
 
+def test_eval_harness_bucket_wiring(monkeypatch):
+    """run_sr_benchmark(bucket>0) must serve through upscale_bucketed and
+    pass the granularity; bucket=0 stays on the exact path."""
+    from lerf_tpu import evaluate
+
+    rng = np.random.RandomState(6)
+    hr = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    calls = []
+
+    class FakeBench:
+        def __init__(self, *a, **k):
+            pass
+
+        def __len__(self):
+            return 1
+
+        def pair(self, i, sh, sw):
+            return np.zeros((8, 8, 3), np.uint8), hr, "x.png"
+
+    class FakePred:
+        def upscale(self, img, sh, sw):
+            calls.append("exact")
+            return np.zeros((16, 16, 3), np.uint8)
+
+        def upscale_bucketed(self, img, sh, sw, granularity=0):
+            calls.append(f"bucket{granularity}")
+            return np.zeros((16, 16, 3), np.uint8)
+
+    monkeypatch.setattr(evaluate, "SRBenchmark", FakeBench)
+    evaluate.run_sr_benchmark(FakePred(), "", "Set5", [(2, 2)], bucket=32)
+    evaluate.run_sr_benchmark(FakePred(), "", "Set5", [(2, 2)])
+    assert calls == ["bucket32", "exact"]
+
+
 def test_bucketed_fractional_aligned_and_fallback():
     pred = make_predictor(seed=2)
     rng = np.random.RandomState(3)
