@@ -17,15 +17,17 @@ L4 = 17 ** 4
 MODES = ("s", "c", "t")
 
 
-def make_predictor(seed=0):
+def make_predictor(seed=0, stages=2):
     rng = np.random.RandomState(seed)
     bank = LUTBank(
         stage1={m: rng.randint(-127, 128, (L4, 1)).astype(np.int8)
                 for m in MODES},
         stage2={f"{m}r{r}": rng.randint(-127, 128, (L4, 3)).astype(np.int8)
                 for m in MODES for r in (0, 1)},
+        inter=[{m: rng.randint(-127, 128, (L4, 1)).astype(np.int8)
+                for m in MODES} for _ in range(stages - 2)],
         out_c=3)
-    return LutPredictor(bank)
+    return LutPredictor(bank, stages=stages)
 
 
 def test_bucketed_bit_exact_and_shared_program():
@@ -75,6 +77,16 @@ def test_net_bucketed_imdn_falls_back():
     np.testing.assert_array_equal(pred.upscale_bucketed(img, 2, 2, 16),
                                   pred.upscale(img, 2, 2))
     assert len(pred._bucket_cache) == 0
+
+
+def test_bucketed_multistage_bit_exact():
+    """stages>2 banks: the intermediate feature stages are re-clamped too
+    (every stage's replicate padding must see the unpadded edge values)."""
+    pred = make_predictor(seed=7, stages=3)
+    img = np.random.RandomState(8).randint(0, 256, (11, 13, 3),
+                                           dtype=np.uint8)
+    np.testing.assert_array_equal(pred.upscale_bucketed(img, 2, 2, 16),
+                                  pred.upscale(img, 2, 2))
 
 
 def test_eval_harness_bucket_wiring(monkeypatch):
