@@ -303,6 +303,42 @@ def bench_bucketed(h, w, scale=SCALE, iters=40, granularity=64):
     return times[len(times) // 2], len(shapes)
 
 
+def bench_warp_dynamic(h, w, scale=SCALE, iters=40, n_matrices=6):
+    """Dynamic-homography serving (LutPredictor.warp_dynamic): p50 ms/frame
+    across DISTINCT homographies through ONE compiled program — the
+    per-matrix path pays a fresh XLA gather compile for every new matrix;
+    here a new matrix costs only the host float64 geometry precompute."""
+    from lerf_tpu.lut.io import LUTBank
+    from lerf_tpu.pipeline import LutPredictor
+
+    try:
+        from lerf_tpu.lut.io import load_lut_bank
+        bank = load_lut_bank("/root/reference/models/lerf-g", out_c=3)
+    except Exception:
+        s1, s2 = load_flat_luts()
+        bank = LUTBank(stage1={m: v.astype(np.int8) for m, v in s1.items()},
+                       stage2={k: v.astype(np.int8) for k, v in s2.items()},
+                       out_c=3)
+    pred = LutPredictor(bank)
+    out_hw = (h * scale, w * scale)
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    mats = [np.eye(3) + rng.randn(3, 3)
+            * np.array([[.05, .05, 4.0], [.05, .05, 4.0], [1e-4, 1e-4, 0.0]])
+            for _ in range(n_matrices)]
+    for m in mats[:2]:                                  # compile + warm
+        pred.warp_dynamic(img, m, out_hw)
+    assert len(pred._warp_dyn_cache) == 1, "matrices must share one program"
+    times = []
+    for i in range(iters):
+        m = mats[i % len(mats)]
+        t0 = time.perf_counter()
+        pred.warp_dynamic(img, m, out_hw)
+        times.append((time.perf_counter() - t0) * 1e3)
+    times.sort()
+    return times[len(times) // 2], n_matrices
+
+
 def bench_train(batch=16, crop=48, scale=4, iters=30):
     """Full SPMD training-step throughput at the reference's default config
     (train_model.py / option.py: B=16, cropSize=48, ×4, inC=1): both micro-net
@@ -376,6 +412,9 @@ def main(argv=None):
         p50, nshapes = bench_bucketed(LR_H, LR_W)
         emit("lerf_g_lut_sr_x4_bucketed_mixed_shape_latency_p50", p50,
              unit=f"ms_across_{nshapes}_shapes_one_program")
+        p50, nmats = bench_warp_dynamic(LR_H, LR_W)
+        emit("lerf_g_lut_warp_x4_dynamic_matrix_latency_p50", p50,
+             unit=f"ms_across_{nmats}_homographies_one_program")
 
 
 if __name__ == "__main__":

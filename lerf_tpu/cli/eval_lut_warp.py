@@ -34,7 +34,8 @@ def main(argv=None, datasets=None, scale_ps=None):
             pred, cfg.test_dir, ds, tuple(scale_ps),
             hr_root=cfg.hr_root or None, result_root=cfg.result_root,
             exp_name=exp_name,
-            pre_upsample="PreUpsample" in cfg.test_dir)
+            pre_upsample="PreUpsample" in cfg.test_dir,
+            dynamic=cfg.dynamic_warp)
     print(format_warp_table(all_results, tuple(scale_ps)))
     return all_results
 

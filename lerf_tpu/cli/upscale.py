@@ -65,7 +65,8 @@ def main(argv=None):
         except ValueError:
             raise SystemExit("--matrix warp mode needs --outSize HxW "
                              "(e.g. --outSize 512x512)")
-        out, mask = pred.warp(img, mat, (oh, ow))
+        warp = pred.warp_dynamic if cfg.dynamic_warp else pred.warp
+        out, mask = warp(img, mat, (oh, ow))
         out = out * np.asarray(mask, out.dtype)[..., None]
     else:
         s = cfg.scale                      # "4", "2.5", or "1.5x2.0"

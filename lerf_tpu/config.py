@@ -170,6 +170,10 @@ class TestConfig(BaseConfig):
                                  # of per image shape (bit-identical with
                                  # automatic exact fallback;
                                  # pipeline.upscale_bucketed)
+    dynamic_warp: bool = False   # warp eval via warp_dynamic: one compiled
+                                 # program per (in, out) shape pair across
+                                 # ALL homographies (bit-identical;
+                                 # pipeline.warp_dynamic)
 
     def dataset_list(self):
         return [d for d in self.datasets.split(",") if d]
@@ -200,6 +204,7 @@ _FLAG_ALIASES = {
     "workerNum": "worker_num", "testDir": "test_dir",
     "resultRoot": "result_root", "loadIter": "load_iter",
     "lutName": "lut_name", "hrRoot": "hr_root", "outSize": "out_size",
+    "dynamicWarp": "dynamic_warp",
 }
 
 

@@ -75,13 +75,18 @@ def run_warp_benchmark(predictor, root: str, dataset: str,
                        hr_root: Optional[str] = None,
                        result_root: Optional[str] = None,
                        exp_name: str = "lerf",
-                       pre_upsample: bool = False) -> Dict[str, float]:
+                       pre_upsample: bool = False,
+                       dynamic: bool = False) -> Dict[str, float]:
     """Evaluate homographic warping; returns {scale_p: avg mPSNR}.
 
     ``pre_upsample`` right-multiplies the homography by the ×2 pre-upsample
     correction (eval_model.py:220-226 / train_model.py:214-220).
+    ``dynamic`` serves through ``warp_dynamic`` — one compiled program per
+    (in_sz, out_sz) across ALL homographies (bit-identical; the warp analog
+    of bucketed SR serving).
     """
     bench = WarpBenchmark(root, dataset, hr_root=hr_root)
+    dynamic = dynamic and hasattr(predictor, "warp_dynamic")
     post = np.array([[0.5, 0.0, -0.25],
                      [0.0, 0.5, -0.25],
                      [0.0, 0.0, 1.0]], dtype=np.float64)
@@ -96,7 +101,8 @@ def run_warp_benchmark(predictor, root: str, dataset: str,
             lr, hr, matrix, name = bench.sample(i, scale_p)
             if pre_upsample:
                 matrix = matrix @ post
-            out, mask = predictor.warp(lr, matrix, hr.shape[:2])
+            warp = predictor.warp_dynamic if dynamic else predictor.warp
+            out, mask = warp(lr, matrix, hr.shape[:2])
             mask3 = mask[:, :, None]
             vals.append(mpsnr(out.astype(np.float64), hr, mask3))
             if out_dir is not None:

@@ -1,16 +1,21 @@
 """Resampling core ops: geometry precompute, steerable/fixed resize & warp,
 4D-simplex LUT runtime, mode/rotation ensembles, Pallas kernels."""
 
-from .geometry import ResizeGeometry, WarpGeometry, resolve_scale_and_out_sz
+from .geometry import (ResizeGeometry, WarpGeometry, WarpOperands,
+                       resolve_scale_and_out_sz)
 from .resample import (
     amplified_linear_resize,
     amplified_linear_warp,
+    amplified_linear_warp_rings,
     fixed_kernel_resize,
     fixed_kernel_warp,
     nearest_warp_mask,
+    nearest_warp_mask_host,
     resize,
     steering_gaussian_resize,
     steering_gaussian_warp,
+    steering_gaussian_warp_rings,
+    warp_rings,
 )
 from .simplex import (
     build_cell_table,
@@ -28,10 +33,13 @@ from .lut_pipeline import (
 )
 
 __all__ = [
-    "ResizeGeometry", "WarpGeometry", "resolve_scale_and_out_sz",
+    "ResizeGeometry", "WarpGeometry", "WarpOperands",
+    "resolve_scale_and_out_sz",
     "steering_gaussian_resize", "amplified_linear_resize",
     "fixed_kernel_resize", "resize",
     "steering_gaussian_warp", "amplified_linear_warp",
+    "steering_gaussian_warp_rings", "amplified_linear_warp_rings",
+    "warp_rings", "nearest_warp_mask_host",
     "fixed_kernel_warp", "nearest_warp_mask", "simplex4d", "simplex4d_cells",
     "build_cell_table",
     "round_half_even_div", "lut_ensemble", "lut_stage1", "lut_stage2",

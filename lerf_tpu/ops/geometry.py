@@ -202,3 +202,75 @@ class WarpGeometry:
                    fov_x=fov_x, fov_y=fov_y,
                    lin_idx=np.ascontiguousarray(lin).astype(np.int32),
                    dis_x=dis_x, dis_y=dis_y, pad_x=pad_x, pad_y=pad_y)
+
+
+def _serving_axis(grid: np.ndarray, in_sz: int, support: int):
+    """Per-axis operands for dynamic-homography serving.
+
+    Runs the exact ``_warp_axis`` math (same left/pad/clip/distance lines),
+    then re-expresses the clipped gather over a FIXED ±1 pad: the reference
+    gathers ``padded[clip(j, 0, in-1)]`` at ring position ``j`` of a plane
+    padded by the matrix-dependent ``pad0`` (≤1 at support 2, since the
+    projected grid is pre-clipped to ``[0, in]``); over a plane padded by
+    exactly one row/col on each side the same value sits at index
+    ``clip(j, 0, in-1) - pad0 + 1`` — for BOTH pad modes, because index 0
+    is the zero row (constant pad / image) or the replicated first row
+    (edge pad / hyper maps), exactly what ``pad0``-padding exposes.
+
+    Returns ``(corner, ring, dis)``: the per-output-pixel corner ring
+    position ``[oh, ow]``, the ring map ``[in+4]`` into the ±1-padded
+    plane, and the float64 distances ``[oh, ow, S]`` (identical values to
+    ``WarpGeometry.dis_*``).
+    """
+    left = np.ceil(grid - support / 2.0 - _EPS).astype(np.int64)
+    fov = left[..., None] + np.arange(support, dtype=np.int64)
+    pad0 = int(max(-fov[0, 0, 0], 0))
+    fov = fov + pad0
+    fov_clipped = fov.clip(0, in_sz - 1)
+    dis = (grid[..., None] + pad0) - fov_clipped
+    corner = left + pad0 + 1                    # ring position of neighbor 0
+    q = np.arange(in_sz + 4, dtype=np.int64)
+    ring = np.clip(q - 1, 0, in_sz - 1) - pad0 + 1
+    return corner, ring.astype(np.int32), dis
+
+
+@dataclasses.dataclass(frozen=True)
+class WarpOperands:
+    """Matrix-dependent *data* (not program constants) for dynamic-warp
+    serving (``pipeline.LutPredictor.warp_dynamic``).
+
+    :class:`WarpGeometry` bakes its index/distance arrays into the jitted
+    program as constants, so every new homography pays a full XLA gather
+    compile.  Here every matrix-dependent quantity has a shape fixed by
+    ``(in_sz, out_sz)`` alone and is passed as a *traced input* — ONE
+    compiled program serves every homography at a given shape pair, and the
+    per-matrix work is this host-side float64 precompute (the same math as
+    ``WarpGeometry.create``; bit-equal outputs, tests/test_dynamic_warp.py).
+    """
+    in_sz: tuple
+    out_sz: tuple
+    support: int         # always 2 — the deploy configuration
+    ring_x: np.ndarray   # [inH+4] int32 row map into the ±1-padded planes
+    ring_y: np.ndarray   # [inW+4] int32 col map
+    corner: np.ndarray   # [N] int32 flat corner index, N = outH·outW
+    dis_x: np.ndarray    # [N, S] float64 neighbor distances
+    dis_y: np.ndarray    # [N, S] float64
+
+    @classmethod
+    def create(cls, in_sz: Sequence[int], matrix, out_sz: Sequence[int],
+               support: int = 2):
+        if support != 2:
+            raise ValueError("dynamic warp serving is support-2 only")
+        in_sz = tuple(int(s) for s in in_sz)
+        out_sz = tuple(int(s) for s in out_sz)
+        grid_x, grid_y = _warp_grid(matrix, in_sz, out_sz)
+        cx, ring_x, dis_x = _serving_axis(grid_x, in_sz[0], support)
+        cy, ring_y, dis_y = _serving_axis(grid_y, in_sz[1], support)
+        n = out_sz[0] * out_sz[1]
+        # packed-operand spatial shape is (inH+3, inW+3) — ring length - 1
+        corner = cx.astype(np.int64) * (in_sz[1] + 3) + cy
+        return cls(in_sz=in_sz, out_sz=out_sz, support=support,
+                   ring_x=ring_x, ring_y=ring_y,
+                   corner=corner.reshape(n).astype(np.int32),
+                   dis_x=dis_x.reshape(n, support),
+                   dis_y=dis_y.reshape(n, support))

@@ -24,6 +24,8 @@ batch-sharded multi-chip variants in ``lerf_tpu.parallel``.
 """
 from __future__ import annotations
 
+from typing import NamedTuple, Optional
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -685,6 +687,166 @@ def amplified_linear_warp(img, alpha, geom: WarpGeometry, *,
     weights = amplified_linear_weight(f_alpha, dx, dy, masks_x, masks_y)
     neighbors = _gather_warp(img, geom, pad_mode)
     return _reduce_support_warp(weights, neighbors)
+
+
+# ---------------------------------------------------------------------------
+# dynamic-homography serving: matrix-dependent geometry as traced inputs
+# ---------------------------------------------------------------------------
+
+
+class WarpRings(NamedTuple):
+    """Traced-input form of :class:`~lerf_tpu.ops.geometry.WarpOperands`
+    (plus the linear kernel's host-float64 branch masks).  A jit-transparent
+    pytree: every leaf's shape is fixed by ``(in_sz, out_sz)``, so ONE
+    compiled warp program serves every homography at a shape pair."""
+    ring_x: jnp.ndarray          # [inH+4] int32
+    ring_y: jnp.ndarray          # [inW+4] int32
+    corner: jnp.ndarray          # [N] int32, N = outH·outW
+    dis_x: jnp.ndarray           # [N, S] weight dtype
+    dis_y: jnp.ndarray           # [N, S]
+    masks_x: Optional[tuple] = None   # (neg [N,S], pos [N,S]) — linear only
+    masks_y: Optional[tuple] = None
+
+
+def warp_rings(operands, *, linear: bool = False, dtype=np.float32):
+    """``WarpOperands`` → :class:`WarpRings` with numpy leaves.
+
+    Everything float64-sensitive is resolved on the host here: the
+    distances are cast exactly like the static path (``_warp_dis_flat``),
+    and the amplified-linear branch masks — which MUST be evaluated in
+    float64 (see :func:`_branch_masks`) — are precomputed from the float64
+    distances and shipped as data.
+    """
+    mx = _branch_masks(operands.dis_x) if linear else None
+    my = _branch_masks(operands.dis_y) if linear else None
+    return WarpRings(operands.ring_x, operands.ring_y, operands.corner,
+                     operands.dis_x.astype(dtype),
+                     operands.dis_y.astype(dtype), mx, my)
+
+
+def _rowpack_warp_gather_rings(planes, rings: WarpRings):
+    """Ring-indexed :func:`_rowpack_warp_gather` for dynamic-homography
+    serving: ``planes`` are FIXED ±1-padded ``[C, H+2, W+2]`` arrays and all
+    indexing data is traced (``rings``).  Identical packing, corner-major
+    row gather, and return layout — the matrix-dependent clip/pad semantics
+    live in the host-computed ring/corner arrays
+    (geometry.WarpOperands docstring)."""
+    C = planes[0].shape[0]
+    rx, ry = rings.ring_x, rings.ring_y
+    remapped = [jnp.take(jnp.take(p, rx, axis=-2), ry, axis=-1)
+                for p in planes]
+    rh, rw = rx.shape[0], ry.shape[0]
+    blocks = []
+    for s in (0, 1):
+        for t in (0, 1):
+            for p in remapped:
+                blocks.append(p[..., s:s + rh - 1, t:t + rw - 1])
+    k = len(blocks) * C
+    packed = jnp.concatenate(blocks, axis=0)          # [k, rh-1, rw-1]
+    packed = packed.transpose(1, 2, 0).reshape(-1, k)
+    rows = jnp.take(packed, rings.corner, axis=0)     # [N, k]
+    nv = len(planes)
+    out = []
+    for b in range(4):                                # (s, t) blocks
+        vals = []
+        for v in range(nv):
+            lane0 = (b * nv + v) * C
+            vals.append(rows[:, lane0:lane0 + C])
+        out.append(vals)
+    return out
+
+
+def steering_gaussian_warp_rings(img, rho, sigma_x, sigma_y,
+                                 rings: WarpRings, *, out_sz,
+                                 max_sigma: float = 10.0,
+                                 pad_mode: str = "constant",
+                                 u8_inputs: bool = False):
+    """Dynamic-homography steering warp: bit-identical to
+    :func:`steering_gaussian_warp` (support-2 row-packed path, [C,H,W])
+    with every matrix-dependent array a traced input — build ``rings`` per
+    matrix on the host (``WarpOperands.create`` + :func:`warp_rings`) and
+    reuse one jitted program across homographies."""
+    if u8_inputs:
+        img_u8 = img if jnp.issubdtype(img.dtype, jnp.integer) \
+            else jnp.round(img)
+        planes = [pad2d(img_u8.astype(jnp.uint8), (1, 1), (1, 1),
+                        pad_mode)] + [
+            pad2d(_encode_u8(p), (1, 1), (1, 1), "edge")
+            for p in (rho, sigma_x, sigma_y)]
+    else:
+        r, sx, sy = decode_gaussian_hyper(rho, sigma_x, sigma_y, max_sigma)
+        planes = [pad2d(img, (1, 1), (1, 1), pad_mode)] + [
+            pad2d(p, (1, 1), (1, 1), "edge") for p in (r, sx, sy)]
+    gathered = _rowpack_warp_gather_rings(planes, rings)
+    wn = None
+    ws = None
+    for b, (s, t) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        x, r_, sx_, sy_ = gathered[b]
+        if u8_inputs:
+            x = x.astype(jnp.float32)
+            r_, sx_, sy_ = decode_gaussian_hyper(
+                r_.astype(jnp.float32) / 255.0,
+                sx_.astype(jnp.float32) / 255.0,
+                sy_.astype(jnp.float32) / 255.0, max_sigma)
+        w = steering_gaussian_weight(r_, sx_, sy_,
+                                     rings.dis_x[:, s:s + 1],
+                                     rings.dis_y[:, t:t + 1])
+        wn = w * x if wn is None else wn + w * x
+        ws = w if ws is None else ws + w
+    return (wn / ws).T.reshape(img.shape[0], *out_sz)
+
+
+def amplified_linear_warp_rings(img, alpha, rings: WarpRings, *, out_sz,
+                                max_alpha: float = 1.0,
+                                pad_mode: str = "constant",
+                                u8_inputs: bool = False):
+    """Dynamic-homography amplified-linear warp — rings counterpart of
+    :func:`amplified_linear_warp` (build ``rings`` with ``linear=True`` so
+    the float64 branch masks ride along)."""
+    if u8_inputs:
+        img_u8 = img if jnp.issubdtype(img.dtype, jnp.integer) \
+            else jnp.round(img)
+        planes = [pad2d(img_u8.astype(jnp.uint8), (1, 1), (1, 1), pad_mode),
+                  pad2d(_encode_u8(alpha), (1, 1), (1, 1), "edge")]
+    else:
+        planes = [pad2d(img, (1, 1), (1, 1), pad_mode),
+                  pad2d(decode_linear_hyper(alpha, max_alpha),
+                        (1, 1), (1, 1), "edge")]
+    gathered = _rowpack_warp_gather_rings(planes, rings)
+    wn = None
+    ws = None
+    for b, (s, t) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        x, a_ = gathered[b]
+        if u8_inputs:
+            x = x.astype(jnp.float32)
+            a_ = decode_linear_hyper(a_.astype(jnp.float32) / 255.0,
+                                     max_alpha)
+        mx = (rings.masks_x[0][:, s:s + 1], rings.masks_x[1][:, s:s + 1])
+        my = (rings.masks_y[0][:, t:t + 1], rings.masks_y[1][:, t:t + 1])
+        w = amplified_linear_weight(a_, rings.dis_x[:, s:s + 1],
+                                    rings.dis_y[:, t:t + 1], mx, my)
+        wn = w * x if wn is None else wn + w * x
+        ws = w if ws is None else ws + w
+    return (wn / ws).T.reshape(img.shape[0], *out_sz)
+
+
+def nearest_warp_mask_host(in_sz, matrix, out_sz, border: int = 4):
+    """Host-numpy :func:`nearest_warp_mask` for dynamic-warp serving (the
+    mask geometry is matrix-dependent, so the dynamic path computes it on
+    the host).  Float64 throughout; bit-equal to the device version because
+    every product is exact on {0, 255} values.  Returns [outH, outW] bool.
+    """
+    h, w = in_sz
+    geom = WarpGeometry.create(in_sz, matrix, out_sz, support=1)
+    white = np.zeros((h, w), dtype=np.float64)
+    white[border:h - border, border:w - border] = 255.0
+    wp = np.pad(white, (geom.pad_x, geom.pad_y))
+    kern1d = interp_kernels.NP_KERNELS_1D["box"]
+    wx = kern1d(geom.dis_x.transpose(2, 0, 1))[:, None]   # [S,1,oh,ow]
+    wy = kern1d(geom.dis_y.transpose(2, 0, 1))[None, :]
+    neigh = wp.reshape(-1)[geom.lin_idx.astype(np.int64)]  # [S,S,oh,ow]
+    warped = (wx * wy * neigh).sum(axis=(0, 1))
+    return warped == 255.0
 
 
 def fixed_kernel_warp(img, geom: WarpGeometry, kernel: str = "cubic", *,

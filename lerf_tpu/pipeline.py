@@ -17,14 +17,19 @@ from .lut.io import LUTBank
 from .ops import (
     ResizeGeometry,
     WarpGeometry,
+    WarpOperands,
     amplified_linear_resize,
     amplified_linear_warp,
+    amplified_linear_warp_rings,
     lut_stage1,
     lut_stage2,
     nearest_warp_mask,
+    nearest_warp_mask_host,
     split_gaussian_hyper,
     steering_gaussian_resize,
     steering_gaussian_warp,
+    steering_gaussian_warp_rings,
+    warp_rings,
 )
 from .ops.lut_pipeline import PackedTables, lut_stage1_intermediate
 
@@ -129,6 +134,7 @@ class NetPredictor:
         self._resize_cache: Dict = {}
         self._warp_cache: Dict = {}
         self._bucket_cache: Dict = {}
+        self._warp_dyn_cache: Dict = {}
 
     @classmethod
     def from_srnets(cls, params, *, modes=("s", "c", "t"),
@@ -391,6 +397,55 @@ class NetPredictor:
         out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
         return out_u8, np.asarray(mask)
 
+    def _warp_dyn_fn(self, in_sz, out_sz):
+        key = (in_sz, out_sz)
+        if key not in self._warp_dyn_cache:
+
+            @jax.jit
+            def run(img_f, rings):
+                feat, hyper = self._stages(img_f)
+                if self.linear:
+                    out = amplified_linear_warp_rings(
+                        feat, hyper[..., 0], rings, out_sz=out_sz,
+                        u8_inputs=self.hyper_u8)
+                else:
+                    out = steering_gaussian_warp_rings(
+                        feat, hyper[..., 0], hyper[..., 1], hyper[..., 2],
+                        rings, out_sz=out_sz, max_sigma=self.max_sigma,
+                        u8_inputs=self.hyper_u8)
+                return _quantize_device(out, self.norm, nan_to_zero=True)
+
+            self._warp_dyn_cache[key] = run
+        return self._warp_dyn_cache[key]
+
+    def warp_dynamic(self, img_hwc: np.ndarray, matrix: np.ndarray,
+                     out_hw: Tuple[int, int]):
+        """Homographic warp through ONE compiled program per
+        (in_sz, out_sz): the matrix-dependent geometry is computed on the
+        host per call (the same float64 math as :meth:`warp`) and fed as
+        traced arrays (ops.geometry.WarpOperands), so a NEW homography runs
+        at serving latency instead of paying a per-matrix XLA gather
+        compile.  Bit-identical to :meth:`warp`
+        (tests/test_dynamic_warp.py); support-2 only (the deploy config),
+        other supports fall back to the per-matrix path."""
+        matrix = np.asarray(matrix)
+        if self.supp_size != 2:
+            return self.warp(img_hwc, matrix, out_hw)
+        img = np.asarray(img_hwc)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        chw = np.ascontiguousarray(img.transpose(2, 0, 1)) \
+            .astype(np.float32) / self.norm
+        in_sz = chw.shape[1:]
+        out_hw = tuple(int(v) for v in out_hw)
+        ops_ = WarpOperands.create(in_sz, matrix, out_hw)
+        rings = warp_rings(ops_, linear=self.linear)
+        run = self._warp_dyn_fn(in_sz, out_hw)
+        out = run(jnp.asarray(chw), rings)
+        mask = nearest_warp_mask_host(in_sz, matrix, out_hw, border=4)
+        out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
+        return out_u8, mask
+
 
 class LutPredictor:
     """Two-stage LUT inference: feature LUTs → hyper LUTs → steerable resample.
@@ -483,6 +538,7 @@ class LutPredictor:
         self._resize_cache: Dict = {}
         self._warp_cache: Dict = {}
         self._bucket_cache: Dict = {}
+        self._warp_dyn_cache: Dict = {}
 
     # -- stages -------------------------------------------------------------
 
@@ -701,6 +757,62 @@ class LutPredictor:
         out, mask, feat, hyper = run(jnp.asarray(chw))
         out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
         mask = np.asarray(mask)
+        if return_aux:
+            return out_u8, mask, np.asarray(feat), np.asarray(hyper)
+        return out_u8, mask
+
+    def _warp_dyn_fn(self, in_sz, out_sz):
+        key = (in_sz, out_sz)
+        if key not in self._warp_dyn_cache:
+
+            @jax.jit
+            def run(img_i32, rings):
+                feat, hyper = self._stages_fn(img_i32)
+                if self.linear:
+                    out = amplified_linear_warp_rings(
+                        feat, hyper[..., 0], rings, out_sz=out_sz,
+                        u8_inputs=True)
+                else:
+                    out = steering_gaussian_warp_rings(
+                        feat, hyper[..., 0], hyper[..., 1], hyper[..., 2],
+                        rings, out_sz=out_sz, max_sigma=self.max_sigma,
+                        u8_inputs=True)
+                return _quantize_device(out, self.norm, nan_to_zero=True), \
+                    feat, hyper
+
+            self._warp_dyn_cache[key] = run
+        return self._warp_dyn_cache[key]
+
+    def warp_dynamic(self, img_hwc: np.ndarray, matrix: np.ndarray,
+                     out_hw: Tuple[int, int], return_aux: bool = False):
+        """Homographic warp through ONE compiled program per
+        (in_sz, out_sz) — the serving form of :meth:`warp`.
+
+        :meth:`warp` bakes the per-matrix geometry into the program (the
+        TPU analog of the reference's per-image host ``set_shape``,
+        eval_lut_warp.py), so every new homography pays an XLA gather
+        compile.  Here the geometry becomes traced DATA
+        (ops.geometry.WarpOperands: two clip-ring maps, a corner index, the
+        float64 distances) computed on the host per call, and the validity
+        mask is host-numpy (``nearest_warp_mask_host``) — new matrices run
+        at serving latency.  Bit-identical to :meth:`warp`
+        (tests/test_dynamic_warp.py).  Falls back to the per-matrix path
+        outside the u8 row-pack deploy config (support 2, norm 255)."""
+        matrix = np.asarray(matrix)
+        if self.supp_size != 2 or self.norm != 255:
+            return self.warp(img_hwc, matrix, out_hw, return_aux)
+        img = np.asarray(img_hwc)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        chw = np.ascontiguousarray(img.transpose(2, 0, 1)).astype(np.int32)
+        in_sz = chw.shape[1:]
+        out_hw = tuple(int(v) for v in out_hw)
+        ops_ = WarpOperands.create(in_sz, matrix, out_hw)
+        rings = warp_rings(ops_, linear=self.linear)
+        run = self._warp_dyn_fn(in_sz, out_hw)
+        out, feat, hyper = run(jnp.asarray(chw), rings)
+        mask = nearest_warp_mask_host(in_sz, matrix, out_hw, border=4)
+        out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
         if return_aux:
             return out_u8, mask, np.asarray(feat), np.asarray(hyper)
         return out_u8, mask

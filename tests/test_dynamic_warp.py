@@ -1,0 +1,189 @@
+"""Dynamic-homography warp serving (pipeline.warp_dynamic /
+ops.resample.*_rings): the matrix-dependent geometry becomes traced data
+over a fixed ±1 pad, so ONE compiled program serves every homography at a
+given (in, out) shape pair — and must be bit-identical to the per-matrix
+jitted path for every matrix."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lerf_tpu.lut.io import LUTBank
+from lerf_tpu.models import srnet
+from lerf_tpu.ops import (WarpGeometry, WarpOperands,
+                          amplified_linear_warp,
+                          amplified_linear_warp_rings, nearest_warp_mask,
+                          nearest_warp_mask_host, steering_gaussian_warp,
+                          steering_gaussian_warp_rings, warp_rings)
+from lerf_tpu.pipeline import LutPredictor, NetPredictor
+
+L4 = 17 ** 4
+MODES = ("s", "c", "t")
+IN_SZ = (37, 45)
+OUT_SZ = (52, 40)
+
+
+def _matrices():
+    """Projective matrices spanning the quirk space: pads 0/1 per side,
+    out-of-view regions (NaN windows), strong perspective terms."""
+    rng = np.random.RandomState(3)
+    mats = [
+        np.array([[1.1, 0.02, 3.0], [0.01, 0.95, -2.0], [1e-4, 2e-5, 1.0]]),
+        np.array([[0.7, -0.1, 10.0], [0.2, 1.3, -5.0], [5e-4, -2e-4, 1.0]]),
+        np.diag([2.0, 2.0, 1.0]),                   # pure scale (zero pads)
+    ]
+    for _ in range(3):
+        mats.append(np.eye(3) + rng.randn(3, 3)
+                    * np.array([[.05, .05, 4.0], [.05, .05, 4.0],
+                                [1e-4, 1e-4, 0.0]]))
+    return mats
+
+
+def _eq_with_nan(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return bool(((a == b) | (np.isnan(a) & np.isnan(b))).all())
+
+
+def test_rings_ops_bit_equal_across_matrices():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (3, *IN_SZ)).astype(np.int32)
+    hyp = [rng.randint(0, 256, (3, *IN_SZ)).astype(np.int32)
+           for _ in range(3)]
+    for m in _matrices():
+        geom = WarpGeometry.create(IN_SZ, m, OUT_SZ, support=2)
+        ops = WarpOperands.create(IN_SZ, m, OUT_SZ)
+
+        want = steering_gaussian_warp(
+            jnp.asarray(img), *map(jnp.asarray, hyp), geom, u8_inputs=True)
+        got = steering_gaussian_warp_rings(
+            jnp.asarray(img), *map(jnp.asarray, hyp), warp_rings(ops),
+            out_sz=OUT_SZ, u8_inputs=True)
+        assert _eq_with_nan(want, got), m
+
+        wantl = amplified_linear_warp(jnp.asarray(img), jnp.asarray(hyp[0]),
+                                      geom, u8_inputs=True)
+        gotl = amplified_linear_warp_rings(
+            jnp.asarray(img), jnp.asarray(hyp[0]),
+            warp_rings(ops, linear=True), out_sz=OUT_SZ, u8_inputs=True)
+        assert _eq_with_nan(wantl, gotl), m
+
+
+def test_rings_ops_float_path_bit_equal():
+    """The non-u8 (float stage outputs, e.g. IMDN hyper maps) path."""
+    rng = np.random.RandomState(1)
+    img = rng.rand(3, *IN_SZ).astype(np.float32) * 255.0
+    hyp = [rng.rand(3, *IN_SZ).astype(np.float32) for _ in range(3)]
+    m = _matrices()[0]
+    geom = WarpGeometry.create(IN_SZ, m, OUT_SZ, support=2)
+    ops = WarpOperands.create(IN_SZ, m, OUT_SZ)
+    want = steering_gaussian_warp(jnp.asarray(img), *map(jnp.asarray, hyp),
+                                  geom)
+    got = steering_gaussian_warp_rings(jnp.asarray(img),
+                                       *map(jnp.asarray, hyp),
+                                       warp_rings(ops), out_sz=OUT_SZ)
+    assert _eq_with_nan(want, got)
+
+
+def test_host_mask_matches_device():
+    for m in _matrices():
+        mask_geom = WarpGeometry.create(IN_SZ, m, OUT_SZ, support=1)
+        dev = np.asarray(nearest_warp_mask(IN_SZ, mask_geom,
+                                           border=4)).astype(bool)
+        host = nearest_warp_mask_host(IN_SZ, m, OUT_SZ, border=4)
+        np.testing.assert_array_equal(dev, host)
+
+
+def _lut_predictor(linear=False):
+    rng = np.random.RandomState(7)
+    oc = 1 if linear else 3
+    bank = LUTBank(
+        stage1={m: rng.randint(-127, 128, (L4, 1)).astype(np.int8)
+                for m in MODES},
+        stage2={f"{m}r{r}": rng.randint(-127, 128, (L4, oc)).astype(np.int8)
+                for m in MODES for r in (0, 1)},
+        out_c=oc)
+    return LutPredictor(bank, linear=linear)
+
+
+def test_lut_warp_dynamic_bit_exact_one_program():
+    pred = _lut_predictor()
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
+    for m in _matrices()[:3]:
+        want_out, want_mask = pred.warp(img, m, OUT_SZ)
+        got_out, got_mask = pred.warp_dynamic(img, m, OUT_SZ)
+        np.testing.assert_array_equal(want_out, got_out)
+        np.testing.assert_array_equal(want_mask, got_mask)
+    assert len(pred._warp_dyn_cache) == 1     # one program, three matrices
+    assert len(pred._warp_cache) == 3         # vs one per matrix
+
+
+def test_lut_warp_dynamic_linear_form():
+    pred = _lut_predictor(linear=True)
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
+    for m in _matrices()[:2]:
+        want_out, want_mask = pred.warp(img, m, OUT_SZ)
+        got_out, got_mask = pred.warp_dynamic(img, m, OUT_SZ)
+        np.testing.assert_array_equal(want_out, got_out)
+        np.testing.assert_array_equal(want_mask, got_mask)
+    assert len(pred._warp_dyn_cache) == 1
+
+
+def test_net_warp_dynamic_bit_exact():
+    params = srnet.init_lerf_nets(jax.random.PRNGKey(0), nf=8, out_c=3)
+    pred = NetPredictor.from_srnets(params)
+    rng = np.random.RandomState(10)
+    img = rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
+    for m in _matrices()[:2]:
+        want_out, want_mask = pred.warp(img, m, OUT_SZ)
+        got_out, got_mask = pred.warp_dynamic(img, m, OUT_SZ)
+        np.testing.assert_array_equal(want_out, got_out)
+        np.testing.assert_array_equal(want_mask, got_mask)
+    assert len(pred._warp_dyn_cache) == 1
+
+
+def test_lut_warp_dynamic_on_shipped_homographies():
+    """Real fixture homographies (the reference's Set5 isc/osc .pth
+    matrices) through the shipped LeRF-G LUTs: dynamic == per-matrix."""
+    import os
+
+    import pytest
+
+    from conftest import REFERENCE_ROOT
+    from lerf_tpu.data.benchmarks import WarpBenchmark
+    from lerf_tpu.lut import load_lut_bank
+
+    warp_root = os.path.join(REFERENCE_ROOT, "data", "WarpBenchmark")
+    rr = os.path.join(REFERENCE_ROOT, "data", "rrBenchmark")
+    models = os.path.join(REFERENCE_ROOT, "models", "lerf-g")
+    if not (os.path.isdir(warp_root) and os.path.isdir(rr)
+            and os.path.isdir(models)):
+        pytest.skip("reference fixtures not available")
+    bank = load_lut_bank(models, out_c=3)
+    pred = LutPredictor(bank)
+    bench = WarpBenchmark(warp_root, "Set5", hr_root=rr)
+    lr, hr, matrix, _ = bench.sample(0, "isc")
+    # crop to keep the CPU compile cheap; the matrix stays the real one
+    lr = lr[:64, :72]
+    out_hw = (80, 96)
+    want_out, want_mask = pred.warp(lr, matrix, out_hw)
+    got_out, got_mask = pred.warp_dynamic(lr, matrix, out_hw)
+    np.testing.assert_array_equal(want_out, got_out)
+    np.testing.assert_array_equal(want_mask, got_mask)
+
+
+def test_warp_dynamic_fallback_outside_deploy_config(monkeypatch):
+    """support != 2 (and norm != 255 for the LUT form) must fall back to
+    the exact per-matrix path."""
+    pred = _lut_predictor()
+    pred.supp_size = 3
+    called = {}
+
+    def fake_warp(img, matrix, out_hw, return_aux=False):
+        called["yes"] = True
+        return "out", "mask"
+
+    monkeypatch.setattr(pred, "warp", fake_warp)
+    img = np.zeros((8, 8, 3), np.uint8)
+    assert pred.warp_dynamic(img, np.eye(3), (8, 8)) == ("out", "mask")
+    assert called

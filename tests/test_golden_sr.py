@@ -58,3 +58,14 @@ def test_set5_warp_golden(model):
     res = run_warp_benchmark(pred, WARP, "Set5", ("isc", "osc"), hr_root=RR)
     for scale_p, want in GOLDEN_WARP[model].items():
         assert abs(res[scale_p] - want) < 0.011, (model, scale_p, res, want)
+
+
+@pytest.mark.slow
+def test_set5_warp_golden_dynamic_serving():
+    """The dynamic-homography serving path (one program per shape pair,
+    matrices as traced data) must reproduce the published warp table too."""
+    pred = make_predictor("lerf-g")
+    res = run_warp_benchmark(pred, WARP, "Set5", ("isc", "osc"), hr_root=RR,
+                             dynamic=True)
+    for scale_p, want in GOLDEN_WARP["lerf-g"].items():
+        assert abs(res[scale_p] - want) < 0.011, (scale_p, res, want)
