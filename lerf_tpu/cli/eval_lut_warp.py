@@ -35,7 +35,7 @@ def main(argv=None, datasets=None, scale_ps=None):
             hr_root=cfg.hr_root or None, result_root=cfg.result_root,
             exp_name=exp_name,
             pre_upsample="PreUpsample" in cfg.test_dir,
-            dynamic=cfg.dynamic_warp)
+            dynamic=cfg.dynamic_warp, bucket=cfg.bucket)
     print(format_warp_table(all_results, tuple(scale_ps)))
     return all_results
 

@@ -63,7 +63,7 @@ def main(argv=None, datasets=None):
             pred, cfg.test_dir, ds, ("isc", "osc"),
             hr_root=cfg.hr_root or None, result_root=cfg.result_root,
             exp_name=exp_name, pre_upsample=pre_up,
-            dynamic=cfg.dynamic_warp)
+            dynamic=cfg.dynamic_warp, bucket=cfg.bucket)
             for ds in datasets}
         print(format_warp_table(results))
         return results

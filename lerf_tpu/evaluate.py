@@ -76,17 +76,19 @@ def run_warp_benchmark(predictor, root: str, dataset: str,
                        result_root: Optional[str] = None,
                        exp_name: str = "lerf",
                        pre_upsample: bool = False,
-                       dynamic: bool = False) -> Dict[str, float]:
+                       dynamic: bool = False,
+                       bucket: int = 0) -> Dict[str, float]:
     """Evaluate homographic warping; returns {scale_p: avg mPSNR}.
 
     ``pre_upsample`` right-multiplies the homography by the ×2 pre-upsample
     correction (eval_model.py:220-226 / train_model.py:214-220).
     ``dynamic`` serves through ``warp_dynamic`` — one compiled program per
     (in_sz, out_sz) across ALL homographies (bit-identical; the warp analog
-    of bucketed SR serving).
+    of bucketed SR serving); ``bucket`` > 0 additionally buckets the input
+    shape and flat output length, making the whole eval recompile-free.
     """
     bench = WarpBenchmark(root, dataset, hr_root=hr_root)
-    dynamic = dynamic and hasattr(predictor, "warp_dynamic")
+    dynamic = (dynamic or bucket > 0) and hasattr(predictor, "warp_dynamic")
     post = np.array([[0.5, 0.0, -0.25],
                      [0.0, 0.5, -0.25],
                      [0.0, 0.0, 1.0]], dtype=np.float64)
@@ -101,8 +103,11 @@ def run_warp_benchmark(predictor, root: str, dataset: str,
             lr, hr, matrix, name = bench.sample(i, scale_p)
             if pre_upsample:
                 matrix = matrix @ post
-            warp = predictor.warp_dynamic if dynamic else predictor.warp
-            out, mask = warp(lr, matrix, hr.shape[:2])
+            if dynamic:
+                out, mask = predictor.warp_dynamic(lr, matrix, hr.shape[:2],
+                                                   granularity=bucket)
+            else:
+                out, mask = predictor.warp(lr, matrix, hr.shape[:2])
             mask3 = mask[:, :, None]
             vals.append(mpsnr(out.astype(np.float64), hr, mask3))
             if out_dir is not None:

@@ -274,3 +274,34 @@ class WarpOperands:
                    corner=corner.reshape(n).astype(np.int32),
                    dis_x=dis_x.reshape(n, support),
                    dis_y=dis_y.reshape(n, support))
+
+    def for_bucket(self, in_bucket: Sequence[int], n_bucket: int):
+        """Re-express these operands for bucket-shaped program frames —
+        fully recompile-free warp serving (pipeline ``warp_dynamic`` with
+        ``granularity > 0``).
+
+        The rings/corner/distances keep the TRUE ``in_sz``/``out_sz``
+        semantics (so gathers never touch the bucket's pad rows and the
+        weights are unchanged); only the array SHAPES move to the bucket
+        frame: rings edge-pad to ``in_bucket + 4`` (positions beyond the
+        true ring are unreachable — corners are ≤ in+1), the corner index
+        re-strides for the bucket's packed-operand width and zero-pads to
+        ``n_bucket`` rows (garbage outputs, host-cropped), and the
+        distances zero-pad likewise.  The program key becomes
+        ``(in_bucket, n_bucket)`` — independent of the image shape, the
+        output shape, and the matrix.
+        """
+        hb, wb = (int(v) for v in in_bucket)
+        n = self.corner.shape[0]
+        if hb < self.in_sz[0] or wb < self.in_sz[1] or n_bucket < n:
+            raise ValueError("bucket smaller than the true shapes")
+        ring_x = np.pad(self.ring_x, (0, hb - self.in_sz[0]), mode="edge")
+        ring_y = np.pad(self.ring_y, (0, wb - self.in_sz[1]), mode="edge")
+        # corner = cx·(inW+3) + cy  →  re-stride for the bucket width
+        cx, cy = np.divmod(self.corner.astype(np.int64), self.in_sz[1] + 3)
+        corner = np.pad(cx * (wb + 3) + cy, (0, n_bucket - n))
+        pad = ((0, n_bucket - n), (0, 0))
+        return dataclasses.replace(
+            self, ring_x=ring_x, ring_y=ring_y,
+            corner=corner.astype(np.int32),
+            dis_x=np.pad(self.dis_x, pad), dis_y=np.pad(self.dis_y, pad))

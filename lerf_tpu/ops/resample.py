@@ -757,7 +757,7 @@ def _rowpack_warp_gather_rings(planes, rings: WarpRings):
 
 
 def steering_gaussian_warp_rings(img, rho, sigma_x, sigma_y,
-                                 rings: WarpRings, *, out_sz,
+                                 rings: WarpRings, *, out_sz=None,
                                  max_sigma: float = 10.0,
                                  pad_mode: str = "constant",
                                  u8_inputs: bool = False):
@@ -765,7 +765,11 @@ def steering_gaussian_warp_rings(img, rho, sigma_x, sigma_y,
     :func:`steering_gaussian_warp` (support-2 row-packed path, [C,H,W])
     with every matrix-dependent array a traced input — build ``rings`` per
     matrix on the host (``WarpOperands.create`` + :func:`warp_rings`) and
-    reuse one jitted program across homographies."""
+    reuse one jitted program across homographies.
+
+    ``out_sz=None`` returns the flat ``[C, N]`` output (N = the corner
+    array's length) so the output shape need not be static — the bucketed
+    serving form crops/reshapes on the host."""
     if u8_inputs:
         img_u8 = img if jnp.issubdtype(img.dtype, jnp.integer) \
             else jnp.round(img)
@@ -793,16 +797,17 @@ def steering_gaussian_warp_rings(img, rho, sigma_x, sigma_y,
                                      rings.dis_y[:, t:t + 1])
         wn = w * x if wn is None else wn + w * x
         ws = w if ws is None else ws + w
-    return (wn / ws).T.reshape(img.shape[0], *out_sz)
+    out = (wn / ws).T
+    return out if out_sz is None else out.reshape(img.shape[0], *out_sz)
 
 
-def amplified_linear_warp_rings(img, alpha, rings: WarpRings, *, out_sz,
-                                max_alpha: float = 1.0,
+def amplified_linear_warp_rings(img, alpha, rings: WarpRings, *,
+                                out_sz=None, max_alpha: float = 1.0,
                                 pad_mode: str = "constant",
                                 u8_inputs: bool = False):
     """Dynamic-homography amplified-linear warp — rings counterpart of
     :func:`amplified_linear_warp` (build ``rings`` with ``linear=True`` so
-    the float64 branch masks ride along)."""
+    the float64 branch masks ride along; ``out_sz=None`` → flat [C, N])."""
     if u8_inputs:
         img_u8 = img if jnp.issubdtype(img.dtype, jnp.integer) \
             else jnp.round(img)
@@ -827,7 +832,8 @@ def amplified_linear_warp_rings(img, alpha, rings: WarpRings, *, out_sz,
                                     rings.dis_y[:, t:t + 1], mx, my)
         wn = w * x if wn is None else wn + w * x
         ws = w if ws is None else ws + w
-    return (wn / ws).T.reshape(img.shape[0], *out_sz)
+    out = (wn / ws).T
+    return out if out_sz is None else out.reshape(img.shape[0], *out_sz)
 
 
 def nearest_warp_mask_host(in_sz, matrix, out_sz, border: int = 4):

@@ -418,31 +418,69 @@ class NetPredictor:
             self._warp_dyn_cache[key] = run
         return self._warp_dyn_cache[key]
 
+    def _warp_bucket_fn(self, in_bucket, n_bucket):
+        key = ("bucket", in_bucket, n_bucket)
+        if key not in self._warp_dyn_cache:
+
+            @jax.jit
+            def run(img_f, rings, h, w):
+                feat, hyper = self._stages(img_f, clamp_hw=(h, w))
+                if self.linear:
+                    out = amplified_linear_warp_rings(
+                        feat, hyper[..., 0], rings, u8_inputs=self.hyper_u8)
+                else:
+                    out = steering_gaussian_warp_rings(
+                        feat, hyper[..., 0], hyper[..., 1], hyper[..., 2],
+                        rings, max_sigma=self.max_sigma,
+                        u8_inputs=self.hyper_u8)
+                return _quantize_device(out, self.norm, nan_to_zero=True)
+
+            self._warp_dyn_cache[key] = run
+        return self._warp_dyn_cache[key]
+
     def warp_dynamic(self, img_hwc: np.ndarray, matrix: np.ndarray,
-                     out_hw: Tuple[int, int]):
-        """Homographic warp through ONE compiled program per
-        (in_sz, out_sz): the matrix-dependent geometry is computed on the
-        host per call (the same float64 math as :meth:`warp`) and fed as
-        traced arrays (ops.geometry.WarpOperands), so a NEW homography runs
-        at serving latency instead of paying a per-matrix XLA gather
-        compile.  Bit-identical to :meth:`warp`
-        (tests/test_dynamic_warp.py); support-2 only (the deploy config),
-        other supports fall back to the per-matrix path."""
+                     out_hw: Tuple[int, int], granularity: int = 0):
+        """Homographic warp as a serving form — no per-matrix recompiles
+        (see :meth:`LutPredictor.warp_dynamic`; same construction).
+
+        ``granularity=0``: one program per (in_sz, out_sz), any matrix.
+        ``granularity=g>0``: one program per (in-bucket, N-bucket) — any
+        image size, output size, and matrix; requires replicate-pad stages
+        (the SRNet form; the IMDN form serves un-bucketed).  Support-2
+        only; otherwise the per-matrix path."""
         matrix = np.asarray(matrix)
         if self.supp_size != 2:
             return self.warp(img_hwc, matrix, out_hw)
         img = np.asarray(img_hwc)
         if img.ndim == 2:
             img = np.stack([img] * 3, axis=-1)
-        chw = np.ascontiguousarray(img.transpose(2, 0, 1)) \
-            .astype(np.float32) / self.norm
-        in_sz = chw.shape[1:]
+        in_sz = img.shape[:2]
         out_hw = tuple(int(v) for v in out_hw)
         ops_ = WarpOperands.create(in_sz, matrix, out_hw)
+        mask = nearest_warp_mask_host(in_sz, matrix, out_hw, border=4)
+        if granularity > 0 and self.stage_pad == "replicate":
+            g = int(granularity)
+            hb, wb = -(-in_sz[0] // g) * g, -(-in_sz[1] // g) * g
+            n = out_hw[0] * out_hw[1]
+            nb = -(-n // (g * g)) * (g * g)
+            rings = warp_rings(ops_.for_bucket((hb, wb), nb),
+                               linear=self.linear)
+            padded = np.pad(img, ((0, hb - in_sz[0]), (0, wb - in_sz[1]),
+                                  (0, 0)), mode="edge")
+            chw = np.ascontiguousarray(padded.transpose(2, 0, 1)) \
+                .astype(np.float32) / self.norm
+            run = self._warp_bucket_fn((hb, wb), nb)
+            out = run(jnp.asarray(chw), rings,
+                      jnp.asarray(in_sz[0], jnp.int32),
+                      jnp.asarray(in_sz[1], jnp.int32))
+            out_u8 = _quantize_host(out, self.norm)[:, :n] \
+                .reshape(-1, *out_hw).transpose(1, 2, 0)
+            return out_u8, mask
+        chw = np.ascontiguousarray(img.transpose(2, 0, 1)) \
+            .astype(np.float32) / self.norm
         rings = warp_rings(ops_, linear=self.linear)
         run = self._warp_dyn_fn(in_sz, out_hw)
         out = run(jnp.asarray(chw), rings)
-        mask = nearest_warp_mask_host(in_sz, matrix, out_hw, border=4)
         out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
         return out_u8, mask
 
@@ -783,10 +821,34 @@ class LutPredictor:
             self._warp_dyn_cache[key] = run
         return self._warp_dyn_cache[key]
 
+    def _warp_bucket_fn(self, in_bucket, n_bucket):
+        key = ("bucket", in_bucket, n_bucket)
+        if key not in self._warp_dyn_cache:
+
+            @jax.jit
+            def run(img_i32, rings, h, w):
+                feat, hyper = self._stages_fn(img_i32, clamp_hw=(h, w))
+                # no in-program masking: the rings only ever index the
+                # true rows/cols (+ the shared zero/edge pad row), and the
+                # post-stage re-clamp makes those rows bit-equal to the
+                # unpadded program's (see upscale_bucketed)
+                if self.linear:
+                    out = amplified_linear_warp_rings(
+                        feat, hyper[..., 0], rings, u8_inputs=True)
+                else:
+                    out = steering_gaussian_warp_rings(
+                        feat, hyper[..., 0], hyper[..., 1], hyper[..., 2],
+                        rings, max_sigma=self.max_sigma, u8_inputs=True)
+                return _quantize_device(out, self.norm, nan_to_zero=True), \
+                    feat, hyper
+
+            self._warp_dyn_cache[key] = run
+        return self._warp_dyn_cache[key]
+
     def warp_dynamic(self, img_hwc: np.ndarray, matrix: np.ndarray,
-                     out_hw: Tuple[int, int], return_aux: bool = False):
-        """Homographic warp through ONE compiled program per
-        (in_sz, out_sz) — the serving form of :meth:`warp`.
+                     out_hw: Tuple[int, int], return_aux: bool = False,
+                     granularity: int = 0):
+        """Homographic warp as a SERVING form — no per-matrix recompiles.
 
         :meth:`warp` bakes the per-matrix geometry into the program (the
         TPU analog of the reference's per-image host ``set_shape``,
@@ -794,8 +856,17 @@ class LutPredictor:
         compile.  Here the geometry becomes traced DATA
         (ops.geometry.WarpOperands: two clip-ring maps, a corner index, the
         float64 distances) computed on the host per call, and the validity
-        mask is host-numpy (``nearest_warp_mask_host``) — new matrices run
-        at serving latency.  Bit-identical to :meth:`warp`
+        mask is host-numpy (``nearest_warp_mask_host``):
+
+        * ``granularity=0`` — one compiled program per (in_sz, out_sz)
+          shape pair, any matrix.
+        * ``granularity=g>0`` — fully recompile-free: the input pads to a
+          shape bucket (stages re-clamped, like :meth:`upscale_bucketed`),
+          the output stays FLAT in the program and is host-cropped, so one
+          program per (in-bucket, N-bucket) serves any image size, any
+          output size, and any matrix.
+
+        Both modes are bit-identical to :meth:`warp`
         (tests/test_dynamic_warp.py).  Falls back to the per-matrix path
         outside the u8 row-pack deploy config (support 2, norm 255)."""
         matrix = np.asarray(matrix)
@@ -804,14 +875,37 @@ class LutPredictor:
         img = np.asarray(img_hwc)
         if img.ndim == 2:
             img = np.stack([img] * 3, axis=-1)
-        chw = np.ascontiguousarray(img.transpose(2, 0, 1)).astype(np.int32)
-        in_sz = chw.shape[1:]
+        in_sz = img.shape[:2]
         out_hw = tuple(int(v) for v in out_hw)
         ops_ = WarpOperands.create(in_sz, matrix, out_hw)
+        mask = nearest_warp_mask_host(in_sz, matrix, out_hw, border=4)
+        if granularity > 0:
+            g = int(granularity)
+            hb, wb = -(-in_sz[0] // g) * g, -(-in_sz[1] // g) * g
+            n = out_hw[0] * out_hw[1]
+            nb = -(-n // (g * g)) * (g * g)
+            rings = warp_rings(ops_.for_bucket((hb, wb), nb),
+                               linear=self.linear)
+            padded = np.pad(img, ((0, hb - in_sz[0]), (0, wb - in_sz[1]),
+                                  (0, 0)), mode="edge")
+            chw = np.ascontiguousarray(padded.transpose(2, 0, 1)) \
+                .astype(np.int32)
+            run = self._warp_bucket_fn((hb, wb), nb)
+            out, feat, hyper = run(jnp.asarray(chw), rings,
+                                   jnp.asarray(in_sz[0], jnp.int32),
+                                   jnp.asarray(in_sz[1], jnp.int32))
+            out_u8 = _quantize_host(out, self.norm)[:, :n] \
+                .reshape(-1, *out_hw).transpose(1, 2, 0)
+            if return_aux:
+                h, w = in_sz
+                return out_u8, mask, \
+                    np.asarray(feat)[..., :h, :w], \
+                    np.asarray(hyper)[..., :h, :w, :]
+            return out_u8, mask
+        chw = np.ascontiguousarray(img.transpose(2, 0, 1)).astype(np.int32)
         rings = warp_rings(ops_, linear=self.linear)
         run = self._warp_dyn_fn(in_sz, out_hw)
         out, feat, hyper = run(jnp.asarray(chw), rings)
-        mask = nearest_warp_mask_host(in_sz, matrix, out_hw, border=4)
         out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
         if return_aux:
             return out_u8, mask, np.asarray(feat), np.asarray(hyper)

@@ -142,6 +142,53 @@ def test_net_warp_dynamic_bit_exact():
     assert len(pred._warp_dyn_cache) == 1
 
 
+def test_lut_warp_bucketed_bit_exact_one_program():
+    """granularity>0: one program per (in-bucket, N-bucket) must serve
+    different image shapes, output shapes, AND matrices bit-exactly."""
+    pred = _lut_predictor()
+    rng = np.random.RandomState(11)
+    cases = [((37, 45), (52, 40)), ((33, 41), (49, 44)), ((37, 45), (45, 47))]
+    mats = _matrices()
+    for (in_sz, out_sz), m in zip(cases, mats):
+        img = rng.randint(0, 256, (*in_sz, 3), dtype=np.uint8)
+        want_out, want_mask = pred.warp(img, m, out_sz)
+        got_out, got_mask = pred.warp_dynamic(img, m, out_sz,
+                                              granularity=16)
+        np.testing.assert_array_equal(want_out, got_out)
+        np.testing.assert_array_equal(want_mask, got_mask)
+    # all three (in, out) shape combos share the (48, 48)-bucket program
+    assert len([k for k in pred._warp_dyn_cache if k[0] == "bucket"]) == 1
+
+
+def test_lut_warp_bucketed_aux_cropped():
+    pred = _lut_predictor()
+    rng = np.random.RandomState(12)
+    img = rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
+    m = _matrices()[0]
+    w_out, w_mask, w_feat, w_hyper = pred.warp(img, m, OUT_SZ,
+                                               return_aux=True)
+    g_out, g_mask, g_feat, g_hyper = pred.warp_dynamic(
+        img, m, OUT_SZ, return_aux=True, granularity=16)
+    np.testing.assert_array_equal(w_out, g_out)
+    np.testing.assert_array_equal(np.asarray(w_feat), g_feat)
+    np.testing.assert_array_equal(np.asarray(w_hyper), g_hyper)
+
+
+def test_net_warp_bucketed_matches_exact():
+    """SRNet form (replicate-pad float stages): same construction; allow
+    only exact-rounding-tie slack like the bucketed SR test."""
+    params = srnet.init_lerf_nets(jax.random.PRNGKey(2), nf=8, out_c=3)
+    pred = NetPredictor.from_srnets(params)
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
+    m = _matrices()[0]
+    want_out, want_mask = pred.warp(img, m, OUT_SZ)
+    got_out, got_mask = pred.warp_dynamic(img, m, OUT_SZ, granularity=16)
+    np.testing.assert_array_equal(want_mask, got_mask)
+    diff = np.abs(want_out.astype(np.int32) - got_out.astype(np.int32))
+    assert diff.max() <= 1 and (diff != 0).mean() < 1e-2
+
+
 def test_lut_warp_dynamic_on_shipped_homographies():
     """Real fixture homographies (the reference's Set5 isc/osc .pth
     matrices) through the shipped LeRF-G LUTs: dynamic == per-matrix."""
