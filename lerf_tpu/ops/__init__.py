@@ -16,6 +16,7 @@ from .resample import (
     steering_gaussian_warp,
     steering_gaussian_warp_rings,
     warp_rings,
+    warp_serving_host,
 )
 from .simplex import (
     build_cell_table,
@@ -39,7 +40,7 @@ __all__ = [
     "fixed_kernel_resize", "resize",
     "steering_gaussian_warp", "amplified_linear_warp",
     "steering_gaussian_warp_rings", "amplified_linear_warp_rings",
-    "warp_rings", "nearest_warp_mask_host",
+    "warp_rings", "nearest_warp_mask_host", "warp_serving_host",
     "fixed_kernel_warp", "nearest_warp_mask", "simplex4d", "simplex4d_cells",
     "build_cell_table",
     "round_half_even_div", "lut_ensemble", "lut_stage1", "lut_stage2",

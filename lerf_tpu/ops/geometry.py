@@ -259,17 +259,25 @@ class WarpOperands:
     @classmethod
     def create(cls, in_sz: Sequence[int], matrix, out_sz: Sequence[int],
                support: int = 2):
-        if support != 2:
-            raise ValueError("dynamic warp serving is support-2 only")
         in_sz = tuple(int(s) for s in in_sz)
         out_sz = tuple(int(s) for s in out_sz)
         grid_x, grid_y = _warp_grid(matrix, in_sz, out_sz)
+        return cls.from_grid(grid_x, grid_y, in_sz, out_sz, support)
+
+    @classmethod
+    def from_grid(cls, grid_x, grid_y, in_sz, out_sz, support: int = 2):
+        """Build from a precomputed projection grid — the grid is the
+        dominant host cost at large outputs, so serving callers compute it
+        once and share it with the validity-mask precompute
+        (``ops.resample.warp_serving_host``)."""
+        if support != 2:
+            raise ValueError("dynamic warp serving is support-2 only")
         cx, ring_x, dis_x = _serving_axis(grid_x, in_sz[0], support)
         cy, ring_y, dis_y = _serving_axis(grid_y, in_sz[1], support)
         n = out_sz[0] * out_sz[1]
         # packed-operand spatial shape is (inH+3, inW+3) — ring length - 1
         corner = cx.astype(np.int64) * (in_sz[1] + 3) + cy
-        return cls(in_sz=in_sz, out_sz=out_sz, support=support,
+        return cls(in_sz=tuple(in_sz), out_sz=tuple(out_sz), support=support,
                    ring_x=ring_x, ring_y=ring_y,
                    corner=corner.reshape(n).astype(np.int32),
                    dis_x=dis_x.reshape(n, support),

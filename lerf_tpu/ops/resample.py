@@ -836,23 +836,50 @@ def amplified_linear_warp_rings(img, alpha, rings: WarpRings, *,
     return out if out_sz is None else out.reshape(img.shape[0], *out_sz)
 
 
+def _mask_from_grid(grid_x, grid_y, in_sz, border: int = 4):
+    """Validity mask from a precomputed projection grid: the support-1 box
+    warp of a border-zeroed all-255 image (``_warp_axis`` geometry, same
+    lines as ``WarpGeometry.create``), float64 throughout — bit-equal to
+    the device :func:`nearest_warp_mask` because every product is exact on
+    {0, 255} values."""
+    from .geometry import _warp_axis
+
+    h, w = in_sz
+    fx, dx, px = _warp_axis(grid_x, h, 1)
+    fy, dy, py = _warp_axis(grid_y, w, 1)
+    white = np.zeros((h, w), dtype=np.float64)
+    white[border:h - border, border:w - border] = 255.0
+    wp = np.pad(white, (px, py))
+    kern1d = interp_kernels.NP_KERNELS_1D["box"]
+    weight = kern1d(dx[..., 0]) * kern1d(dy[..., 0])
+    neigh = wp[fx[..., 0], fy[..., 0]]
+    return (weight * neigh) == 255.0
+
+
 def nearest_warp_mask_host(in_sz, matrix, out_sz, border: int = 4):
     """Host-numpy :func:`nearest_warp_mask` for dynamic-warp serving (the
     mask geometry is matrix-dependent, so the dynamic path computes it on
-    the host).  Float64 throughout; bit-equal to the device version because
-    every product is exact on {0, 255} values.  Returns [outH, outW] bool.
-    """
-    h, w = in_sz
-    geom = WarpGeometry.create(in_sz, matrix, out_sz, support=1)
-    white = np.zeros((h, w), dtype=np.float64)
-    white[border:h - border, border:w - border] = 255.0
-    wp = np.pad(white, (geom.pad_x, geom.pad_y))
-    kern1d = interp_kernels.NP_KERNELS_1D["box"]
-    wx = kern1d(geom.dis_x.transpose(2, 0, 1))[:, None]   # [S,1,oh,ow]
-    wy = kern1d(geom.dis_y.transpose(2, 0, 1))[None, :]
-    neigh = wp.reshape(-1)[geom.lin_idx.astype(np.int64)]  # [S,S,oh,ow]
-    warped = (wx * wy * neigh).sum(axis=(0, 1))
-    return warped == 255.0
+    the host).  Returns [outH, outW] bool."""
+    from .geometry import _warp_grid
+
+    grid_x, grid_y = _warp_grid(matrix, in_sz, out_sz)
+    return _mask_from_grid(grid_x, grid_y, in_sz, border)
+
+
+def warp_serving_host(in_sz, matrix, out_sz, *, border: int = 4):
+    """Per-call host precompute of the dynamic-warp serving path:
+    ``(WarpOperands, validity mask)`` sharing ONE float64 projection-grid
+    computation — the grid dominates the host cost at large outputs, and
+    the per-matrix :class:`WarpGeometry` path recomputes it for operands
+    and mask separately."""
+    from .geometry import WarpOperands, _warp_grid
+
+    in_sz = tuple(int(v) for v in in_sz)
+    out_sz = tuple(int(v) for v in out_sz)
+    grid_x, grid_y = _warp_grid(matrix, in_sz, out_sz)
+    ops = WarpOperands.from_grid(grid_x, grid_y, in_sz, out_sz)
+    mask = _mask_from_grid(grid_x, grid_y, in_sz, border)
+    return ops, mask
 
 
 def fixed_kernel_warp(img, geom: WarpGeometry, kernel: str = "cubic", *,

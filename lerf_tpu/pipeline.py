@@ -17,19 +17,18 @@ from .lut.io import LUTBank
 from .ops import (
     ResizeGeometry,
     WarpGeometry,
-    WarpOperands,
     amplified_linear_resize,
     amplified_linear_warp,
     amplified_linear_warp_rings,
     lut_stage1,
     lut_stage2,
     nearest_warp_mask,
-    nearest_warp_mask_host,
     split_gaussian_hyper,
     steering_gaussian_resize,
     steering_gaussian_warp,
     steering_gaussian_warp_rings,
     warp_rings,
+    warp_serving_host,
 )
 from .ops.lut_pipeline import PackedTables, lut_stage1_intermediate
 
@@ -456,8 +455,7 @@ class NetPredictor:
             img = np.stack([img] * 3, axis=-1)
         in_sz = img.shape[:2]
         out_hw = tuple(int(v) for v in out_hw)
-        ops_ = WarpOperands.create(in_sz, matrix, out_hw)
-        mask = nearest_warp_mask_host(in_sz, matrix, out_hw, border=4)
+        ops_, mask = warp_serving_host(in_sz, matrix, out_hw, border=4)
         if granularity > 0 and self.stage_pad == "replicate":
             g = int(granularity)
             hb, wb = -(-in_sz[0] // g) * g, -(-in_sz[1] // g) * g
@@ -877,8 +875,7 @@ class LutPredictor:
             img = np.stack([img] * 3, axis=-1)
         in_sz = img.shape[:2]
         out_hw = tuple(int(v) for v in out_hw)
-        ops_ = WarpOperands.create(in_sz, matrix, out_hw)
-        mask = nearest_warp_mask_host(in_sz, matrix, out_hw, border=4)
+        ops_, mask = warp_serving_host(in_sz, matrix, out_hw, border=4)
         if granularity > 0:
             g = int(granularity)
             hb, wb = -(-in_sz[0] // g) * g, -(-in_sz[1] // g) * g
