@@ -724,14 +724,14 @@ def warp_rings(operands, *, linear: bool = False, dtype=np.float32):
                      operands.dis_y.astype(dtype), mx, my)
 
 
-def _rowpack_warp_gather_rings(planes, rings: WarpRings):
-    """Ring-indexed :func:`_rowpack_warp_gather` for dynamic-homography
-    serving: ``planes`` are FIXED ±1-padded ``[C, H+2, W+2]`` arrays and all
-    indexing data is traced (``rings``).  Identical packing, corner-major
-    row gather, and return layout — the matrix-dependent clip/pad semantics
-    live in the host-computed ring/corner arrays
-    (geometry.WarpOperands docstring)."""
-    C = planes[0].shape[0]
+def pack_rings_operand(planes, rings: WarpRings):
+    """Corner-indexed packed operand for the ring gather: ``planes`` are
+    FIXED ±1-padded ``[C, H+2, W+2]`` arrays; the ring maps re-index them
+    so that one row of the result holds ALL (s, t, plane, channel) values
+    an output pixel needs.  Returns ``[M, k]`` (M = (inH+3)·(inW+3),
+    k = 4·n_planes·C).  Exposed separately so the multi-chip dynamic warp
+    can replicate the operand and shard only the corner/distance arrays
+    (parallel.spatial)."""
     rx, ry = rings.ring_x, rings.ring_y
     remapped = [jnp.take(jnp.take(p, rx, axis=-2), ry, axis=-1)
                 for p in planes]
@@ -741,19 +741,34 @@ def _rowpack_warp_gather_rings(planes, rings: WarpRings):
         for t in (0, 1):
             for p in remapped:
                 blocks.append(p[..., s:s + rh - 1, t:t + rw - 1])
-    k = len(blocks) * C
+    k = len(blocks) * planes[0].shape[0]
     packed = jnp.concatenate(blocks, axis=0)          # [k, rh-1, rw-1]
-    packed = packed.transpose(1, 2, 0).reshape(-1, k)
-    rows = jnp.take(packed, rings.corner, axis=0)     # [N, k]
-    nv = len(planes)
+    return packed.transpose(1, 2, 0).reshape(-1, k)
+
+
+def split_rings_rows(rows, n_planes: int, channels: int):
+    """Gathered ``[N, k]`` rows → list over (s, t) of lists over planes of
+    ``[N, C]`` views (the :func:`_rowpack_warp_gather` return layout)."""
     out = []
     for b in range(4):                                # (s, t) blocks
         vals = []
-        for v in range(nv):
-            lane0 = (b * nv + v) * C
-            vals.append(rows[:, lane0:lane0 + C])
+        for v in range(n_planes):
+            lane0 = (b * n_planes + v) * channels
+            vals.append(rows[:, lane0:lane0 + channels])
         out.append(vals)
     return out
+
+
+def _rowpack_warp_gather_rings(planes, rings: WarpRings):
+    """Ring-indexed :func:`_rowpack_warp_gather` for dynamic-homography
+    serving: ``planes`` are FIXED ±1-padded ``[C, H+2, W+2]`` arrays and all
+    indexing data is traced (``rings``).  Identical packing, corner-major
+    row gather, and return layout — the matrix-dependent clip/pad semantics
+    live in the host-computed ring/corner arrays
+    (geometry.WarpOperands docstring)."""
+    packed = pack_rings_operand(planes, rings)
+    rows = jnp.take(packed, rings.corner, axis=0)     # [N, k]
+    return split_rings_rows(rows, len(planes), planes[0].shape[0])
 
 
 def steering_gaussian_warp_rings(img, rho, sigma_x, sigma_y,
@@ -770,18 +785,36 @@ def steering_gaussian_warp_rings(img, rho, sigma_x, sigma_y,
     ``out_sz=None`` returns the flat ``[C, N]`` output (N = the corner
     array's length) so the output shape need not be static — the bucketed
     serving form crops/reshapes on the host."""
+    planes = gauss_rings_planes(img, rho, sigma_x, sigma_y,
+                                max_sigma=max_sigma, u8_inputs=u8_inputs,
+                                pad_mode=pad_mode)
+    gathered = _rowpack_warp_gather_rings(planes, rings)
+    out = gauss_rings_accumulate(gathered, rings.dis_x, rings.dis_y,
+                                 max_sigma=max_sigma, u8_inputs=u8_inputs).T
+    return out if out_sz is None else out.reshape(img.shape[0], *out_sz)
+
+
+def gauss_rings_planes(img, rho, sigma_x, sigma_y, *, max_sigma: float,
+                       u8_inputs: bool, pad_mode: str = "constant"):
+    """The 4 fixed ±1-padded gather planes of the steering ring warp
+    (image: ``pad_mode``; hyper maps: edge) — shared with the multi-chip
+    variant (parallel.spatial)."""
     if u8_inputs:
         img_u8 = img if jnp.issubdtype(img.dtype, jnp.integer) \
             else jnp.round(img)
-        planes = [pad2d(img_u8.astype(jnp.uint8), (1, 1), (1, 1),
-                        pad_mode)] + [
+        return [pad2d(img_u8.astype(jnp.uint8), (1, 1), (1, 1),
+                      pad_mode)] + [
             pad2d(_encode_u8(p), (1, 1), (1, 1), "edge")
             for p in (rho, sigma_x, sigma_y)]
-    else:
-        r, sx, sy = decode_gaussian_hyper(rho, sigma_x, sigma_y, max_sigma)
-        planes = [pad2d(img, (1, 1), (1, 1), pad_mode)] + [
-            pad2d(p, (1, 1), (1, 1), "edge") for p in (r, sx, sy)]
-    gathered = _rowpack_warp_gather_rings(planes, rings)
+    r, sx, sy = decode_gaussian_hyper(rho, sigma_x, sigma_y, max_sigma)
+    return [pad2d(img, (1, 1), (1, 1), pad_mode)] + [
+        pad2d(p, (1, 1), (1, 1), "edge") for p in (r, sx, sy)]
+
+
+def gauss_rings_accumulate(gathered, dis_x, dis_y, *, max_sigma: float,
+                           u8_inputs: bool):
+    """Σ w·x / Σ w over the four (s, t) blocks of a rings gather
+    (``dis_*``: [N, S]).  Returns [N, C]."""
     wn = None
     ws = None
     for b, (s, t) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
@@ -793,12 +826,10 @@ def steering_gaussian_warp_rings(img, rho, sigma_x, sigma_y,
                 sx_.astype(jnp.float32) / 255.0,
                 sy_.astype(jnp.float32) / 255.0, max_sigma)
         w = steering_gaussian_weight(r_, sx_, sy_,
-                                     rings.dis_x[:, s:s + 1],
-                                     rings.dis_y[:, t:t + 1])
+                                     dis_x[:, s:s + 1], dis_y[:, t:t + 1])
         wn = w * x if wn is None else wn + w * x
         ws = w if ws is None else ws + w
-    out = (wn / ws).T
-    return out if out_sz is None else out.reshape(img.shape[0], *out_sz)
+    return wn / ws
 
 
 def amplified_linear_warp_rings(img, alpha, rings: WarpRings, *,

@@ -11,9 +11,11 @@ from .mesh import (
 )
 from .spatial import (
     lut_stages_sharded,
+    sharded_dynamic_warp_pipeline,
     sharded_lut_sr_pipeline,
     sharded_lut_warp_pipeline,
     steering_gaussian_resize_sharded,
+    steering_gaussian_warp_rings_sharded,
     steering_gaussian_warp_sharded,
 )
 
@@ -22,4 +24,6 @@ __all__ = ["DATA_AXIS", "make_mesh", "batch_sharding", "replicated",
            "steering_gaussian_resize_sharded",
            "steering_gaussian_warp_sharded",
            "lut_stages_sharded", "sharded_lut_sr_pipeline",
-           "sharded_lut_warp_pipeline"]
+           "sharded_lut_warp_pipeline",
+           "steering_gaussian_warp_rings_sharded",
+           "sharded_dynamic_warp_pipeline"]

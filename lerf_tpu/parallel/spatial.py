@@ -272,3 +272,73 @@ def sharded_lut_warp_pipeline(img, tables1, tables2, modes,
     return steering_gaussian_warp_sharded(
         feat.astype(jnp.float32), rho, sx, sy, geom, mesh,
         max_sigma=max_sigma, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# dynamic-homography (rings) warp, output-sharded
+# ---------------------------------------------------------------------------
+
+
+def steering_gaussian_warp_rings_sharded(img, rho, sigma_x, sigma_y,
+                                         rings, mesh, *,
+                                         max_sigma: float = 10.0,
+                                         u8_inputs: bool = True,
+                                         axis: str = DATA_AXIS,
+                                         pad_mode: str = "constant"):
+    """Multi-chip DYNAMIC-homography warp: the matrix enters as traced data
+    (``ops.resample.WarpRings``), so one compiled sharded program serves
+    every homography — the distributed form of ``warp_dynamic``.
+
+    Structure: the (small) packed corner operand is built once and
+    replicated; the flat per-output-pixel corner/distance arrays are
+    sharded on the output axis, so each chip gathers and accumulates only
+    its slice of output pixels.  No collective beyond the operand's
+    replication (input-sized).  Non-divisible N pads with duplicated
+    entries and crops after.  Returns flat [C, N] (host reshapes) —
+    bit-identical per pixel to ``steering_gaussian_warp_rings`` eagerly;
+    under jit, XLA fusion (FMA contraction) may shift float32 results at
+    the ~1e-6 relative level (tests/test_spatial.py)."""
+    from ..ops.resample import (gauss_rings_accumulate, gauss_rings_planes,
+                                pack_rings_operand, split_rings_rows)
+
+    n_dev = mesh.devices.size
+    planes = gauss_rings_planes(img, rho, sigma_x, sigma_y,
+                                max_sigma=max_sigma, u8_inputs=u8_inputs,
+                                pad_mode=pad_mode)
+    packed = pack_rings_operand(planes, rings)         # [M, k] replicated
+    corner, n = _pad_rows(rings.corner, 0, n_dev)
+    dis_x, _ = _pad_rows(rings.dis_x, 0, n_dev)
+    dis_y, _ = _pad_rows(rings.dis_y, 0, n_dev)
+    channels = planes[0].shape[0]
+
+    def local(packed_rep, corner_l, dx_l, dy_l):
+        rows = jnp.take(packed_rep, corner_l, axis=0)  # [N_local, k]
+        gathered = split_rings_rows(rows, len(planes), channels)
+        return gauss_rings_accumulate(gathered, dx_l, dy_l,
+                                      max_sigma=max_sigma,
+                                      u8_inputs=u8_inputs)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis, None), P(axis, None)),
+        out_specs=P(axis, None))
+    out = fn(packed, corner, dis_x, dis_y)             # [N', C]
+    return out[:n].T                                   # [C, N]
+
+
+def sharded_dynamic_warp_pipeline(img, tables1, tables2, modes,
+                                  rings, mesh, *, modes2=None,
+                                  max_sigma: float = 10.0,
+                                  norm: int = 255, interval: int = 4,
+                                  axis: str = DATA_AXIS):
+    """Multi-chip dynamic-homography LUT warp: row-sharded stage ensembles
+    → output-sharded rings warp.  Program identity is (in_sz, N, mesh) —
+    independent of the homography; jit once, serve every matrix
+    (the distributed analog of ``LutPredictor.warp_dynamic``).  Returns
+    flat [C, N]; u8 row-pack deploy config (norm 255)."""
+    feat, hyper = lut_stages_sharded(img, tables1, tables2, modes, mesh,
+                                     modes2=modes2, axis=axis,
+                                     interval=interval, norm=norm)
+    return steering_gaussian_warp_rings_sharded(
+        feat, hyper[..., 0], hyper[..., 1], hyper[..., 2], rings, mesh,
+        max_sigma=max_sigma, u8_inputs=norm == 255, axis=axis)

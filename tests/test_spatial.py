@@ -164,3 +164,55 @@ def test_sharded_warp_pipeline_bit_exact():
     got = np.asarray(sharded_lut_warp_pipeline(img, s1, s2, modes, geom,
                                                mesh))
     np.testing.assert_array_equal(np.nan_to_num(want), np.nan_to_num(got))
+
+
+def test_sharded_dynamic_warp_bit_exact_across_matrices():
+    """The sharded DYNAMIC warp (matrix as traced rings data) must match
+    the single-device rings path bit-exactly when evaluated eagerly, and to
+    fusion-level float32 tolerance under jit (XLA may contract mul+add to
+    FMA inside the compiled sharded program) — for several homographies,
+    including a non-divisible flat N."""
+    from lerf_tpu.ops.geometry import WarpOperands
+    from lerf_tpu.ops.lut_pipeline import (build_packed_tables, lut_stage1,
+                                           lut_stage2)
+    from lerf_tpu.ops.resample import (steering_gaussian_warp_rings,
+                                       warp_rings)
+    from lerf_tpu.parallel import make_mesh, sharded_dynamic_warp_pipeline
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(10)
+    L4 = 17 ** 4
+    modes = ("s", "c", "t")
+    s1 = build_packed_tables(
+        {m: rng.randint(-127, 128, (L4, 1)).astype(np.int8) for m in modes},
+        modes)
+    s2 = build_packed_tables(
+        {f"{m}r{r}": rng.randint(-127, 128, (L4, 3)).astype(np.int8)
+         for m in modes for r in (0, 1)}, modes, split_r=True)
+    h, w = 22, 19
+    oh, ow = 31, 27                   # N = 837, not divisible by 8
+    img = jnp.asarray(rng.randint(0, 256, (3, h, w)).astype(np.int32))
+
+    run = jax.jit(lambda im, r: sharded_dynamic_warp_pipeline(
+        im, s1, s2, modes, r, mesh))
+    mats = [np.linalg.inv(np.diag([0.55, 0.6, 1.0])),
+            np.array([[1.1, 0.02, 3.0], [0.01, 0.95, -2.0],
+                      [1e-4, 2e-5, 1.0]])]
+    for mat in mats:
+        rings = warp_rings(WarpOperands.create((h, w), mat, (oh, ow)))
+        feat = lut_stage1(img, s1, modes)
+        hyper = lut_stage2(feat, s2, modes)
+        want = np.asarray(steering_gaussian_warp_rings(
+            feat, hyper[..., 0], hyper[..., 1], hyper[..., 2],
+            jax.tree.map(jnp.asarray, rings), max_sigma=10.0,
+            u8_inputs=True))
+        got_eager = np.asarray(sharded_dynamic_warp_pipeline(
+            img, s1, s2, modes, jax.tree.map(jnp.asarray, rings), mesh))
+        np.testing.assert_array_equal(np.nan_to_num(want),
+                                      np.nan_to_num(got_eager))
+        got_jit = np.asarray(run(img, jax.tree.map(jnp.asarray, rings)))
+        np.testing.assert_allclose(np.nan_to_num(want),
+                                   np.nan_to_num(got_jit),
+                                   rtol=2e-5, atol=1e-4)
