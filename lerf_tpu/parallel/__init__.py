@@ -14,6 +14,8 @@ from .spatial import (
     sharded_dynamic_warp_pipeline,
     sharded_lut_sr_pipeline,
     sharded_lut_warp_pipeline,
+    sharded_net_sr_pipeline,
+    srnet_stages_sharded,
     steering_gaussian_resize_sharded,
     steering_gaussian_warp_rings_sharded,
     steering_gaussian_warp_sharded,
@@ -26,4 +28,5 @@ __all__ = ["DATA_AXIS", "make_mesh", "batch_sharding", "replicated",
            "lut_stages_sharded", "sharded_lut_sr_pipeline",
            "sharded_lut_warp_pipeline",
            "steering_gaussian_warp_rings_sharded",
-           "sharded_dynamic_warp_pipeline"]
+           "sharded_dynamic_warp_pipeline",
+           "srnet_stages_sharded", "sharded_net_sr_pipeline"]

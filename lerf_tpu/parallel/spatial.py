@@ -169,31 +169,30 @@ def steering_gaussian_warp_sharded(img, rho, sigma_x, sigma_y, geom, mesh, *,
 # ---------------------------------------------------------------------------
 
 
-def lut_stages_sharded(img, tables1, tables2, modes, mesh, *,
-                       modes2=None, axis: str = DATA_AXIS,
-                       interval: int = 4, norm: int = 255):
-    """Input-row-sharded LUT stage ensembles.
+def _two_stage_band_sharded(img, operands, stage1_fn, stage2_fn, mesh,
+                            axis: str = DATA_AXIS):
+    """Generic input-row-sharded two-stage ensemble execution.
 
-    The stages are the dominant deploy cost and scale with INPUT pixels, so
-    each device computes the ensembles for its band of input rows.  The
+    The stage ensembles are the dominant deploy cost and scale with INPUT
+    pixels, so each device computes them for its band of input rows.  The
     input is replicated (it is small — for upscaling the output dwarfs it),
     so the band + halo is a local dynamic slice: no explicit communication
-    at all.  The halo is ``MAX_PAD`` per chained stage (3 rows for stage 1's
-    sampling + 3 more so every feat row that stage 2 samples is exact);
+    at all.  The halo is ``MAX_PAD`` per chained stage (3 rows for stage
+    1's sampling + 3 more so every feat row that stage 2 samples is exact);
     at true image borders the band edge-pad equals the full image's, so the
-    sharded result is BIT-IDENTICAL to single-device
-    (tests/test_spatial.py::test_sharded_lut_stages_bit_exact).
+    sharded result is BIT-IDENTICAL to single-device (tests/test_spatial.py).
 
-    ``modes2`` defaults to ``modes`` (stage-2 banks may use a different
-    mode set — TestConfig.modes2).  Returns (feat, hyper) row-sharded over
-    ``mesh`` (cropped to H).
+    ``stage1_fn(band, operands) -> feat`` (row axis -2) and
+    ``stage2_fn(feat_band, operands) -> hyper`` (row axis -3) must be
+    3-row-local per chained ensemble (true for both the LUT simplex
+    ensembles and the micro-net pixel-MLP ensembles — both sample via the
+    same ``MAX_PAD`` replicate padding).  Returns (feat, hyper) row-sharded
+    over ``mesh``, cropped to the true height.
     """
-    from ..ops.lut_pipeline import MAX_PAD, lut_stage1, lut_stage2
+    from ..ops.lut_pipeline import MAX_PAD
 
-    if modes2 is None:
-        modes2 = modes
     n = mesh.devices.size
-    h, w = img.shape[-2:]
+    h = img.shape[-2]
     hp = -(-h // n) * n
     if hp != h:
         cfg = [(0, 0)] * (img.ndim - 2) + [(0, hp - h), (0, 0)]
@@ -202,20 +201,19 @@ def lut_stages_sharded(img, tables1, tables2, modes, mesh, *,
     halo = 2 * MAX_PAD
     band = min(rows + 2 * halo, hp)
 
-    def local(img_rep, t1, t2):
+    def local(img_rep, ops_rep):
         i = jax.lax.axis_index(axis)
         r0 = i * rows
         lo = jnp.clip(r0 - halo, 0, hp - band)
         sl = jax.lax.dynamic_slice_in_dim(img_rep, lo, band, axis=-2)
-        feat_b = lut_stage1(sl, t1, modes, interval=interval, norm=norm)
+        feat_b = stage1_fn(sl, ops_rep)
         # Rows past the true image bottom must replicate feat(h-1): the
         # reference pads BETWEEN the stages, and feat of an edge-padded
         # image is not the edge-pad of feat (one-level padding commutes
         # with the ensemble, two chained levels do not).
         idx = jnp.minimum(jnp.arange(band), h - 1 - lo)
         feat_b = jnp.take(feat_b, idx, axis=-2)
-        hyper_b = lut_stage2(feat_b, t2, modes2, interval=interval,
-                             norm=norm)
+        hyper_b = stage2_fn(feat_b, ops_rep)
         off = r0 - lo
         feat = jax.lax.dynamic_slice_in_dim(feat_b, off, rows, axis=-2)
         hyper = jax.lax.dynamic_slice_in_dim(hyper_b, off, rows, axis=-3)
@@ -225,10 +223,38 @@ def lut_stages_sharded(img, tables1, tables2, modes, mesh, *,
     row_spec[-2] = axis
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(), P()),
+        in_specs=(P(), P()),
         out_specs=(P(*row_spec), P(*(row_spec + [None]))))
-    feat, hyper = fn(img, tables1, tables2)
+    feat, hyper = fn(img, operands)
     return feat[..., :h, :], hyper[..., :h, :, :]
+
+
+def lut_stages_sharded(img, tables1, tables2, modes, mesh, *,
+                       modes2=None, axis: str = DATA_AXIS,
+                       interval: int = 4, norm: int = 255):
+    """Input-row-sharded LUT stage ensembles (see
+    :func:`_two_stage_band_sharded` for the band/halo structure —
+    bit-identical to single-device,
+    tests/test_spatial.py::test_sharded_lut_stages_bit_exact).
+
+    ``modes2`` defaults to ``modes`` (stage-2 banks may use a different
+    mode set — TestConfig.modes2).  Returns (feat, hyper) row-sharded over
+    ``mesh`` (cropped to H).
+    """
+    from ..ops.lut_pipeline import lut_stage1, lut_stage2
+
+    if modes2 is None:
+        modes2 = modes
+
+    def s1(band, ops):
+        return lut_stage1(band, ops[0], modes, interval=interval, norm=norm)
+
+    def s2(feat_band, ops):
+        return lut_stage2(feat_band, ops[1], modes2, interval=interval,
+                          norm=norm)
+
+    return _two_stage_band_sharded(img, (tables1, tables2), s1, s2, mesh,
+                                   axis)
 
 
 def sharded_lut_sr_pipeline(img, tables1, tables2, modes,
@@ -342,3 +368,58 @@ def sharded_dynamic_warp_pipeline(img, tables1, tables2, modes,
     return steering_gaussian_warp_rings_sharded(
         feat, hyper[..., 0], hyper[..., 1], hyper[..., 2], rings, mesh,
         max_sigma=max_sigma, u8_inputs=norm == 255, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# micro-net (SRNetsSWF2) form, input-row-sharded
+# ---------------------------------------------------------------------------
+
+
+def srnet_stages_sharded(img, params, mesh, *, modes=("s", "c", "t"),
+                         modes2=None, norm: int = 255,
+                         backend: str = "xla", axis: str = DATA_AXIS):
+    """Input-row-sharded micro-net stage ensembles — the net-form analog of
+    :func:`lut_stages_sharded`.  The pixel-MLP ensembles sample through the
+    same ``MAX_PAD`` replicate padding as the LUT simplex ensembles
+    (models/srnet.py::srunit_on_image), so the identical band/halo
+    structure applies.
+
+    ``img``: [..., H, W] integer or float in 0..255.  Returns
+    (feat [..., H, W] in [0, 255], hyper [..., H, W, outC] in [0, 1]),
+    row-sharded over ``mesh``.  Two-stage deploy config only (the default;
+    a deeper stage-1 chain would need a re-clamp hook between its internal
+    ensembles — reference: SRNetsSWF2.predict, model.py:100-129)."""
+    from ..models import srnet
+
+    if modes2 is None:
+        modes2 = modes
+
+    def s1(band, p):
+        x = band.astype(jnp.float32) / float(norm)
+        return srnet.predict_stage1(p, x, modes=modes, stages=2, norm=norm,
+                                    backend=backend)
+
+    def s2(feat_band, p):
+        return srnet.predict_stage2(p, feat_band / float(norm),
+                                    modes2=modes2, norm=norm,
+                                    backend=backend)
+
+    return _two_stage_band_sharded(img, params, s1, s2, mesh, axis)
+
+
+def sharded_net_sr_pipeline(img, params, geom: ResizeGeometry, mesh, *,
+                            modes=("s", "c", "t"), modes2=None,
+                            norm: int = 255, max_sigma: float = 10.0,
+                            backend: str = "xla", axis: str = DATA_AXIS):
+    """Complete multi-chip micro-net SR: row-sharded pixel-MLP stage
+    ensembles → row-sharded steerable resize — the net-form (fastest
+    serving form) counterpart of :func:`sharded_lut_sr_pipeline`, with the
+    same communication structure (the only collective is the input-sized
+    all-gather of feat/hyper feeding the replicated-source resize)."""
+    feat, hyper = srnet_stages_sharded(img, params, mesh, modes=modes,
+                                       modes2=modes2, norm=norm,
+                                       backend=backend, axis=axis)
+    return steering_gaussian_resize_sharded(
+        feat.astype(jnp.float32), hyper[..., 0].astype(jnp.float32),
+        hyper[..., 1].astype(jnp.float32), hyper[..., 2].astype(jnp.float32),
+        geom, mesh, max_sigma=max_sigma, axis=axis)

@@ -166,6 +166,39 @@ def test_sharded_warp_pipeline_bit_exact():
     np.testing.assert_array_equal(np.nan_to_num(want), np.nan_to_num(got))
 
 
+def test_sharded_net_pipeline_matches_single_device():
+    """The net-form multi-chip SR pipeline (row-sharded pixel-MLP stage
+    ensembles → row-sharded resize) matches the single-device net pipeline
+    on the 8-device mesh, non-divisible input height.  Stage outputs are
+    integer-quantized (round+clip at every stage end), so they are compared
+    exactly; the final resize is float."""
+    from lerf_tpu.models import srnet
+    from lerf_tpu.parallel import (make_mesh, sharded_net_sr_pipeline,
+                                   srnet_stages_sharded)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    params = srnet.init_lerf_nets(jax.random.PRNGKey(3), nf=16, out_c=3)
+    h, w = 21, 17                      # not divisible by 8
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.randint(0, 256, (2, h, w)).astype(np.int32))
+    geom = ResizeGeometry.create((h, w), scale_factors=[2, 2], support=2)
+
+    x = img.astype(jnp.float32) / 255.0
+    feat_ref = srnet.predict_stage1(params, x)
+    hyper_ref = srnet.predict_stage2(params, feat_ref / 255.0)
+    feat, hyper = srnet_stages_sharded(img, params, mesh)
+    np.testing.assert_array_equal(np.asarray(feat_ref), np.asarray(feat))
+    np.testing.assert_array_equal(np.asarray(hyper_ref), np.asarray(hyper))
+
+    want = np.asarray(steering_gaussian_resize(
+        feat_ref, hyper_ref[..., 0], hyper_ref[..., 1], hyper_ref[..., 2],
+        geom, max_sigma=10.0))
+    got = np.asarray(sharded_net_sr_pipeline(img, params, geom, mesh))
+    np.testing.assert_allclose(want, got, rtol=1e-6, atol=1e-4)
+
+
 def test_sharded_dynamic_warp_bit_exact_across_matrices():
     """The sharded DYNAMIC warp (matrix as traced rings data) must match
     the single-device rings path bit-exactly when evaluated eagerly, and to
