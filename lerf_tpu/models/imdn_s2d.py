@@ -48,14 +48,16 @@ from jax import lax
 
 def resolve_backend(backend: str) -> str:
     """Shared by NetPredictor.from_imdn and bench.py so production and
-    benchmark dispatch identically.  "auto" currently resolves to the stock
-    flax path everywhere: the s2d form cuts padded HBM traffic on paper
-    (12 → 48/192 minor lanes), but this repo's int8 experience
-    (BASELINE.md "int8 serving form") says TPU dispatch changes ship only
-    with an on-chip measurement — run tools/exp_imdn_s2d.py on hardware and
-    flip this (with the numbers in BASELINE.md) if s2d wins."""
+    benchmark dispatch identically.  "auto" resolves to s2d on TPU, stock
+    flax elsewhere: measured on one v5e chip (tools/exp_imdn_s2d.py,
+    2026-08-19, 360×640 serving towers) the s2d-2 re-embedding runs the
+    stage chain in 5.1 ms bf16 / 5.5 f32 vs 23.7 / 25.4 for the stock
+    12-lane path — the ~b² padded-HBM-traffic cut is real on hardware
+    (s2d-4 measures the same as s2d-2, so block=2 stays the default).
+    On CPU there is no lane padding to recover, so stock wins there."""
     if backend == "auto":
-        return "base"
+        import jax
+        return "s2d" if jax.default_backend() == "tpu" else "base"
     if backend not in ("base", "s2d"):
         raise ValueError(f"unknown IMDN backend {backend!r}")
     return backend
