@@ -130,17 +130,19 @@ def _warp_grid(matrix: np.ndarray, in_sz, out_sz):
     Returns grid_x, grid_y of shape [outH, outW].
     """
     oh, ow = out_sz
-    ys, xs = np.meshgrid(np.arange(oh, dtype=np.float64),
-                         np.arange(ow, dtype=np.float64), indexing="ij")
-    # (x, y) order for the homography: x = width coord, y = height coord
-    ones = np.ones_like(xs)
-    pts = np.stack([xs.ravel(), ys.ravel(), ones.ravel()], axis=0)  # [3, N]
     inv = np.linalg.inv(np.asarray(matrix, dtype=np.float64))
-    src = inv @ pts
-    src_x = src[0] / src[2]   # width coordinate in input
-    src_y = src[1] / src[2]   # height coordinate in input
-    grid_x = src_y.reshape(oh, ow).clip(0, in_sz[0])  # row coordinate
-    grid_y = src_x.reshape(oh, ow).clip(0, in_sz[1])  # col coordinate
+    # (x, y) order for the homography: x = width coord, y = height coord.
+    # src[i] = inv[i,0]·x + inv[i,1]·y + inv[i,2] is rank-1 per component —
+    # evaluate as 1-D outer sums instead of a [3, oh·ow] dgemm (the matmul
+    # form built ~180 MB of intermediates at 1440p and dominated the
+    # dynamic-warp serving host cost; values agree to float64 ULP).
+    xs = np.arange(ow, dtype=np.float64)           # width coord, per column
+    ys = np.arange(oh, dtype=np.float64)[:, None]  # height coord, per row
+    den = (inv[2, 0] * xs + inv[2, 2]) + inv[2, 1] * ys
+    src_x = ((inv[0, 0] * xs + inv[0, 2]) + inv[0, 1] * ys) / den
+    src_y = ((inv[1, 0] * xs + inv[1, 2]) + inv[1, 1] * ys) / den
+    grid_x = src_y.clip(0, in_sz[0])  # row coordinate
+    grid_y = src_x.clip(0, in_sz[1])  # col coordinate
     return grid_x, grid_y
 
 
@@ -222,13 +224,20 @@ def _serving_axis(grid: np.ndarray, in_sz: int, support: int):
     plane, and the float64 distances ``[oh, ow, S]`` (identical values to
     ``WarpGeometry.dis_*``).
     """
-    left = np.ceil(grid - support / 2.0 - _EPS).astype(np.int64)
-    fov = left[..., None] + np.arange(support, dtype=np.int64)
-    pad0 = int(max(-fov[0, 0, 0], 0))
-    fov = fov + pad0
-    fov_clipped = fov.clip(0, in_sz - 1)
-    dis = (grid[..., None] + pad0) - fov_clipped
-    corner = left + pad0 + 1                    # ring position of neighbor 0
+    # ``left`` stays float64: ceil output is integral, and the per-neighbor
+    # offset/pad/clip arithmetic on small integers is exact in float64, so
+    # the distances match the int64-materialized form bit-for-bit while
+    # skipping the [oh, ow, S] int64 intermediates (host serving cost).
+    left = np.ceil(grid - support / 2.0 - _EPS)
+    pad0 = int(max(-int(left.flat[0]), 0))
+    shifted = grid + pad0
+    dis = np.empty(grid.shape + (support,), np.float64)
+    tmp = np.empty_like(grid)
+    for j in range(support):
+        np.add(left, j + pad0, out=tmp)
+        np.clip(tmp, 0, in_sz - 1, out=tmp)
+        np.subtract(shifted, tmp, out=dis[..., j])
+    corner = (left + (pad0 + 1)).astype(np.int64)  # ring pos of neighbor 0
     q = np.arange(in_sz + 4, dtype=np.int64)
     ring = np.clip(q - 1, 0, in_sz - 1) - pad0 + 1
     return corner, ring.astype(np.int32), dis
