@@ -108,7 +108,36 @@ def bench_lut_sr(s1, s2, h, w, scale=SCALE):
         return jnp.clip(jnp.round(out[:, :h, :w]), 0, 255).astype(jnp.int32)
 
     dt = chain_time(pipeline, rand_img(h, w))
-    return (h * scale) * (w * scale) / 1e6 / dt
+    return geom.out_sz[0] * geom.out_sz[1] / 1e6 / dt
+
+
+def bench_lut_sr_rings(s1, s2, h, w, scale):
+    """Arbitrary-scale SR through the traced-geometry rings program
+    (steering_gaussian_resize_rings) — the serving path for scales whose
+    rational period exceeds MAX_FOV_PERIOD (e.g. ×3.55 = period 71), where
+    the static path falls back to baked index gathers.  Per-scale operands
+    are O(outH+outW) host data; device chain timed like bench_lut_sr."""
+    import jax
+    import jax.numpy as jnp
+    from lerf_tpu.ops import (
+        ResizeOperands, lut_stage1, lut_stage2, resize_rings,
+        split_gaussian_hyper, steering_gaussian_resize_rings,
+    )
+
+    ops_ = ResizeOperands.create((h, w), scale_factors=[scale, scale])
+    rings = jax.device_put(resize_rings(ops_))
+
+    @jax.jit
+    def pipeline(img_i32):
+        feat = lut_stage1(img_i32, s1, MODES)
+        hyper = lut_stage2(feat, s2, MODES)
+        rho, sx, sy = split_gaussian_hyper(hyper)
+        out = steering_gaussian_resize_rings(
+            feat.astype(jnp.float32), rho, sx, sy, rings, max_sigma=10.0)
+        return jnp.clip(jnp.round(out[:, :h, :w]), 0, 255).astype(jnp.int32)
+
+    dt = chain_time(pipeline, rand_img(h, w))
+    return ops_.out_sz[0] * ops_.out_sz[1] / 1e6 / dt
 
 
 def bench_lut_warp(s1, s2, h, w, scale=SCALE):
@@ -339,6 +368,42 @@ def bench_warp_dynamic(h, w, scale=SCALE, iters=40, n_matrices=6):
     return times[len(times) // 2], n_matrices
 
 
+def bench_sr_dynamic(h, w, iters=40, granularity=64,
+                     scales=((4.0, 4.0), (3.55, 3.55), (2.5, 2.5),
+                             (1.5, 2.0))):
+    """Arbitrary-scale serving (LutPredictor.upscale_dynamic): p50 ms/frame
+    across DISTINCT scales — integer, non-periodic (×3.55, period 71 >
+    MAX_FOV_PERIOD), and fractional/anisotropic — through bucket programs.
+    The per-scale path pays a fresh XLA compile for every new scale (and
+    the S²-gather program for non-periodic ones); here a new scale costs
+    two O(out) 1-D host passes."""
+    from lerf_tpu.lut.io import LUTBank
+    from lerf_tpu.pipeline import LutPredictor
+
+    try:
+        from lerf_tpu.lut.io import load_lut_bank
+        bank = load_lut_bank("/root/reference/models/lerf-g", out_c=3)
+    except Exception:
+        s1, s2 = load_flat_luts()
+        bank = LUTBank(stage1={m: v.astype(np.int8) for m, v in s1.items()},
+                       stage2={k: v.astype(np.int8) for k, v in s2.items()},
+                       out_c=3)
+    pred = LutPredictor(bank)
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    for s in scales:                                    # compile + warm
+        pred.upscale_dynamic(img, *s, granularity=granularity)
+    assert not pred._resize_cache, "no per-scale fallbacks allowed"
+    times = []
+    for i in range(iters):
+        s = scales[i % len(scales)]
+        t0 = time.perf_counter()
+        pred.upscale_dynamic(img, *s, granularity=granularity)
+        times.append((time.perf_counter() - t0) * 1e3)
+    times.sort()
+    return times[len(times) // 2], len(scales)
+
+
 def bench_train(batch=16, crop=48, scale=4, iters=30):
     """Full SPMD training-step throughput at the reference's default config
     (train_model.py / option.py: B=16, cropSize=48, ×4, inC=1): both micro-net
@@ -415,6 +480,15 @@ def main(argv=None):
         p50, nmats = bench_warp_dynamic(LR_H, LR_W)
         emit("lerf_g_lut_warp_x4_dynamic_matrix_latency_p50", p50,
              unit=f"ms_across_{nmats}_homographies_one_program")
+        # non-periodic scale (×3.55, rational period 71 > MAX_FOV_PERIOD):
+        # the static baked-gather path vs the traced-geometry rings program
+        emit("lerf_g_lut_sr_x3.55_gather_throughput",
+             bench_lut_sr(s1, s2, LR_H, LR_W, scale=3.55), REF_NUMPY_MPS)
+        emit("lerf_g_lut_sr_x3.55_rings_throughput",
+             bench_lut_sr_rings(s1, s2, LR_H, LR_W, 3.55), REF_NUMPY_MPS)
+        p50, nscales = bench_sr_dynamic(LR_H, LR_W)
+        emit("lerf_g_lut_sr_dynamic_scale_latency_p50", p50,
+             unit=f"ms_across_{nscales}_scales_bucket_programs")
 
 
 if __name__ == "__main__":

@@ -39,7 +39,7 @@ def main(argv=None, datasets=None, scales=None):
             pred, cfg.test_dir, ds, [tuple(s) for s in scales],
             result_root=cfg.result_root, exp_name=exp_name,
             lut_name=cfg.lut_name, post=post, nsigma=cfg.nsigma,
-            bucket=cfg.bucket)
+            bucket=cfg.bucket, dynamic=cfg.dynamic_sr)
     table = format_sr_table(all_results, scales)
     print(table)
     return all_results

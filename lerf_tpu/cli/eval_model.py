@@ -72,7 +72,8 @@ def main(argv=None, datasets=None):
     scales = cfg.scale_list() or [tuple(s) for s in DEFAULT_SCALES]
     results = {ds: run_sr_benchmark(
         pred, cfg.test_dir, ds, scales, result_root=cfg.result_root,
-        exp_name=exp_name, post=post, nsigma=cfg.nsigma, bucket=cfg.bucket)
+        exp_name=exp_name, post=post, nsigma=cfg.nsigma, bucket=cfg.bucket,
+        dynamic=cfg.dynamic_sr)
         for ds in datasets}
     print(format_sr_table(results, scales))
     return results

@@ -74,7 +74,9 @@ def main(argv=None):
             sh, sw = (float(v) for v in s.split("x"))
         else:
             sh = sw = float(s)
-        if cfg.bucket > 0 and hasattr(pred, "upscale_bucketed"):
+        if cfg.dynamic_sr and hasattr(pred, "upscale_dynamic"):
+            out = pred.upscale_dynamic(img, sh, sw, granularity=cfg.bucket)
+        elif cfg.bucket > 0 and hasattr(pred, "upscale_bucketed"):
             out = pred.upscale_bucketed(img, sh, sw, granularity=cfg.bucket)
         else:
             out = pred.upscale(img, sh, sw)

@@ -174,6 +174,11 @@ class TestConfig(BaseConfig):
                                  # program per (in, out) shape pair across
                                  # ALL homographies (bit-identical;
                                  # pipeline.warp_dynamic)
+    dynamic_sr: bool = False     # SR eval via upscale_dynamic: one compiled
+                                 # program per (in, out) shape pair across
+                                 # ALL scales — with --bucket g, per shape
+                                 # bucket (bit-identical;
+                                 # pipeline.upscale_dynamic)
 
     def dataset_list(self):
         return [d for d in self.datasets.split(",") if d]
@@ -204,7 +209,7 @@ _FLAG_ALIASES = {
     "workerNum": "worker_num", "testDir": "test_dir",
     "resultRoot": "result_root", "loadIter": "load_iter",
     "lutName": "lut_name", "hrRoot": "hr_root", "outSize": "out_size",
-    "dynamicWarp": "dynamic_warp",
+    "dynamicWarp": "dynamic_warp", "dynamicSR": "dynamic_sr",
 }
 
 

@@ -33,7 +33,7 @@ def run_sr_benchmark(predictor, root: str, dataset: str,
                      result_root: Optional[str] = None,
                      exp_name: str = "lerf", lut_name: str = "LUTft",
                      post: int = 1, nsigma: float = -1.0,
-                     bucket: int = 0) -> Dict:
+                     bucket: int = 0, dynamic: bool = False) -> Dict:
     """Evaluate arbitrary-scale SR on one dataset.
 
     ``post`` divides the resampling scale for pre-upsampled inputs
@@ -41,10 +41,14 @@ def run_sr_benchmark(predictor, root: str, dataset: str,
     noisy (denoising-mode) evaluation.  ``bucket`` > 0 serves through
     ``upscale_bucketed`` — one compiled program per shape bucket instead of
     one per image shape (bit-identical; the big lever against TPU
-    per-shape gather-compile latency on fresh caches).
+    per-shape gather-compile latency on fresh caches).  ``dynamic`` serves
+    through ``upscale_dynamic`` — one compiled program per (in, out) shape
+    pair across ALL scales (with ``bucket`` > 0, per shape bucket —
+    bit-identical; the scale analog of ``warp_dynamic``).
     Returns {scale: (avg_psnr, avg_ssim)}.
     """
     bench = SRBenchmark(root, dataset, nsigma=nsigma)
+    dynamic = dynamic and hasattr(predictor, "upscale_dynamic")
     bucketed = bucket > 0 and hasattr(predictor, "upscale_bucketed")
     results = {}
     for (sh, sw) in scales:
@@ -56,7 +60,10 @@ def run_sr_benchmark(predictor, root: str, dataset: str,
             os.makedirs(out_dir, exist_ok=True)
         for i in range(len(bench)):
             lr, hr, name = bench.pair(i, sh, sw)
-            if bucketed:
+            if dynamic:
+                out = predictor.upscale_dynamic(lr, sh / post, sw / post,
+                                                granularity=bucket)
+            elif bucketed:
                 out = predictor.upscale_bucketed(lr, sh / post, sw / post,
                                                  granularity=bucket)
             else:

@@ -1,10 +1,11 @@
 """Resampling core ops: geometry precompute, steerable/fixed resize & warp,
 4D-simplex LUT runtime, mode/rotation ensembles, Pallas kernels."""
 
-from .geometry import (ResizeGeometry, WarpGeometry, WarpOperands,
-                       resolve_scale_and_out_sz)
+from .geometry import (ResizeGeometry, ResizeOperands, WarpGeometry,
+                       WarpOperands, resolve_scale_and_out_sz)
 from .resample import (
     amplified_linear_resize,
+    amplified_linear_resize_rings,
     amplified_linear_warp,
     amplified_linear_warp_rings,
     fixed_kernel_resize,
@@ -12,7 +13,9 @@ from .resample import (
     nearest_warp_mask,
     nearest_warp_mask_host,
     resize,
+    resize_rings,
     steering_gaussian_resize,
+    steering_gaussian_resize_rings,
     steering_gaussian_warp,
     steering_gaussian_warp_rings,
     warp_rings,
@@ -34,9 +37,11 @@ from .lut_pipeline import (
 )
 
 __all__ = [
-    "ResizeGeometry", "WarpGeometry", "WarpOperands",
+    "ResizeGeometry", "ResizeOperands", "WarpGeometry", "WarpOperands",
     "resolve_scale_and_out_sz",
     "steering_gaussian_resize", "amplified_linear_resize",
+    "steering_gaussian_resize_rings", "amplified_linear_resize_rings",
+    "resize_rings",
     "fixed_kernel_resize", "resize",
     "steering_gaussian_warp", "amplified_linear_warp",
     "steering_gaussian_warp_rings", "amplified_linear_warp_rings",

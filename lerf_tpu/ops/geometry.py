@@ -120,6 +120,119 @@ class ResizeGeometry:
                    dis_x=dis_x, dis_y=dis_y, pad_x=pad_x, pad_y=pad_y)
 
 
+def _resize_serving_axis(in_sz: int, out_sz: int, scale: float,
+                         support: int):
+    """Per-axis operands for dynamic-scale serving.
+
+    Runs the exact ``_resize_axis`` math (same grid/left/distance lines,
+    resize_right2d_numpy.py:57-104), then re-expresses the gather over a
+    FIXED ±1 pad: for upscaling (scale ≥ 1) at support 2 the reference's
+    per-scale pads are always within {0, 1} per side (the projected grid's
+    endpoints sit in ``(-1/2, 0]`` and ``[in-1, in-1/2)``), so the value at
+    padded index ``j`` of the scale-dependent ``pad0``-padded plane sits at
+    index ``j - pad0 + 1`` of a plane padded by exactly one row/col on each
+    side — for BOTH pad modes (index 0 is the zero row under constant pad /
+    the replicated first row under edge pad, exactly what ``pad0``-padding
+    exposes; the unused top index ``in+1`` is only referenced when
+    ``pad1 == 1``, where it exposes the matching bottom pad row).
+
+    Returns ``(idx, dis)``: the left-neighbor index ``[out]`` into the
+    ±1-padded plane (neighbor ``s`` sits at ``idx + s``) and the float64
+    distances ``[out, S]`` (identical values to ``ResizeGeometry.dis_*``).
+    """
+    grid = (np.arange(out_sz, dtype=np.float64) / scale
+            + (in_sz - 1) / 2.0 - (out_sz - 1) / (2.0 * scale))
+    left = np.ceil(grid - support / 2.0 - _EPS).astype(np.int64)
+    idx = left + 1
+    if idx[0] != 0 or idx.min() < 0 or idx.max() + support - 1 > in_sz + 1:
+        raise ValueError(
+            "scale outside the ±1-frame serving envelope (upscaling only)")
+    # distance arithmetic ORDER matters for float64 bit-parity with
+    # ``_resize_axis``: the static path shifts grid and fov by pad0 (== 1
+    # whenever idx[0] == 0, i.e. the whole upscale envelope) BEFORE
+    # subtracting — ``grid - fov`` directly differs by 1 ulp at
+    # non-representable grids (e.g. 1/3).
+    dis = ((grid + 1.0)[:, None]
+           - (idx[:, None] + np.arange(support, dtype=np.int64)[None, :]))
+    return idx.astype(np.int32), dis
+
+
+@dataclasses.dataclass(frozen=True)
+class ResizeOperands:
+    """Scale-dependent *data* (not program constants) for dynamic-scale SR
+    serving (``pipeline.*.upscale_dynamic``).
+
+    :class:`ResizeGeometry` bakes its index/distance arrays into the jitted
+    program as constants, so every new ``(scale, shape)`` pays a full XLA
+    compile (the periodic-slab path additionally requires the scale's
+    rational period ≤ 32 — ops.resample.MAX_FOV_PERIOD).  Here every
+    scale-dependent quantity has a shape fixed by ``(in_sz, out_sz)`` alone
+    and is passed as a *traced input*: ONE compiled program serves ANY
+    ``(scale_h, scale_w)`` at a shape pair — non-aligned fractional and
+    period>32 scales included — and the per-scale host work is two O(out)
+    1-D float64 passes (resize is separable, so unlike the warp analog
+    :class:`WarpOperands` no O(outH·outW) arrays exist at all).
+
+    Matches the reference's arbitrary-scale serving envelope
+    (eval_lut_sr.py:644-661 recomputes host ``set_shape`` per image/scale).
+    Upscaling only (scale ≥ 1 per axis; the deploy SR configuration) —
+    downscales inflate support via anti-aliasing, which changes operand
+    shapes, so they keep the per-shape compiled path.
+    """
+    in_sz: tuple
+    out_sz: tuple
+    support: int         # always 2 — the deploy configuration
+    idx_x: np.ndarray    # [outH] int32 left-neighbor row into ±1-padded plane
+    idx_y: np.ndarray    # [outW] int32
+    dis_x: np.ndarray    # [outH, S] float64
+    dis_y: np.ndarray    # [outW, S] float64
+
+    @classmethod
+    def create(cls, in_sz: Sequence[int], scale_factors=None, out_sz=None,
+               support: int = 2):
+        in_sz = tuple(int(s) for s in in_sz)
+        scale, out = resolve_scale_and_out_sz(in_sz, scale_factors, out_sz)
+        if support != 2:
+            raise ValueError("dynamic resize serving is support-2 only")
+        if scale[0] < 1.0 or scale[1] < 1.0:
+            raise ValueError("dynamic resize serving is upscale-only "
+                             "(anti-aliased downscale inflates support)")
+        idx_x, dis_x = _resize_serving_axis(in_sz[0], out[0], scale[0],
+                                            support)
+        idx_y, dis_y = _resize_serving_axis(in_sz[1], out[1], scale[1],
+                                            support)
+        return cls(in_sz=in_sz, out_sz=out, support=support,
+                   idx_x=idx_x, idx_y=idx_y, dis_x=dis_x, dis_y=dis_y)
+
+    def for_bucket(self, in_bucket: Sequence[int], out_bucket: Sequence[int]):
+        """Re-express the operands for bucket-shaped program frames — fully
+        recompile-free SR serving (``upscale_dynamic`` with
+        ``granularity > 0``).
+
+        The indices/distances keep the TRUE geometry semantics; only the
+        array SHAPES move to the bucket frame: output rows/cols beyond the
+        true output gather plane index 0 with distance 0 (garbage outputs,
+        host-cropped), and the input axis needs nothing at all — true
+        indices never reach the bucket's pad rows because the serving
+        callers zero-mask (image) / re-clamp (hyper) beyond the valid
+        region, which reproduces the true plane's own ±1 pad rows.  The
+        program key becomes ``(in_bucket, out_bucket)`` — independent of
+        the image shape, the output shape, and the scale.
+        """
+        hb, wb = (int(v) for v in in_bucket)
+        ohb, owb = (int(v) for v in out_bucket)
+        if (hb < self.in_sz[0] or wb < self.in_sz[1]
+                or ohb < self.out_sz[0] or owb < self.out_sz[1]):
+            raise ValueError("bucket smaller than the true shapes")
+        padx = (0, ohb - self.out_sz[0])
+        pady = (0, owb - self.out_sz[1])
+        return dataclasses.replace(
+            self,
+            idx_x=np.pad(self.idx_x, padx), idx_y=np.pad(self.idx_y, pady),
+            dis_x=np.pad(self.dis_x, (padx, (0, 0))),
+            dis_y=np.pad(self.dis_y, (pady, (0, 0))))
+
+
 def _warp_grid(matrix: np.ndarray, in_sz, out_sz):
     """Inverse-homography projected grid, float64.
 

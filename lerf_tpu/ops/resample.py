@@ -867,6 +867,106 @@ def amplified_linear_warp_rings(img, alpha, rings: WarpRings, *,
     return out if out_sz is None else out.reshape(img.shape[0], *out_sz)
 
 
+# ---------------------------------------------------------------------------
+# dynamic-scale serving: resize geometry as traced inputs
+# ---------------------------------------------------------------------------
+
+
+class ResizeRings(NamedTuple):
+    """Traced-input form of :class:`~lerf_tpu.ops.geometry.ResizeOperands`
+    (plus the linear kernel's host-float64 branch masks).  A jit-transparent
+    pytree: every leaf's shape is fixed by ``(out_sz, support)`` alone, so
+    ONE compiled resize program serves every ``(scale_h, scale_w)`` at a
+    shape pair — the SR analog of :class:`WarpRings`, but per-axis (resize
+    is separable) so the operands are O(outH + outW), not O(outH·outW)."""
+    idx_x: jnp.ndarray           # [outH] int32 — left row into ±1-padded plane
+    idx_y: jnp.ndarray           # [outW] int32
+    dis_x: jnp.ndarray           # [outH, S] weight dtype
+    dis_y: jnp.ndarray           # [outW, S]
+    masks_x: Optional[tuple] = None   # (neg [outH,S], pos [outH,S]) — linear
+    masks_y: Optional[tuple] = None
+
+
+def resize_rings(operands, *, linear: bool = False, dtype=np.float32):
+    """``ResizeOperands`` → :class:`ResizeRings` with numpy leaves.
+
+    Float64-sensitive work resolves on the host here, exactly like the
+    static path's trace-time casts: distances cast as ``_dis_broadcast``
+    does, and the amplified-linear branch masks — which MUST be evaluated
+    in float64 (:func:`_branch_masks`) — precomputed and shipped as data.
+    """
+    mx = _branch_masks(operands.dis_x) if linear else None
+    my = _branch_masks(operands.dis_y) if linear else None
+    return ResizeRings(operands.idx_x, operands.idx_y,
+                       operands.dis_x.astype(dtype),
+                       operands.dis_y.astype(dtype), mx, my)
+
+
+def _rings_resize_gather(p, rings: ResizeRings, support: int):
+    """Separable traced-index gather: ±1-padded plane ``[..., H+2, W+2]`` →
+    ``[..., S·outH, S·outW]`` in the support-major block layout of
+    :func:`_gather_resize` (neighbor ``s`` of output row ``i`` at block row
+    ``s·outH + i``), so :func:`_block_sums` applies unchanged."""
+    row = jnp.concatenate([rings.idx_x + s for s in range(support)])
+    col = jnp.concatenate([rings.idx_y + t for t in range(support)])
+    return jnp.take(jnp.take(p, row, axis=-2), col, axis=-1)
+
+
+def _rings_dis_broadcast(rings: ResizeRings, dtype):
+    """dis [out, S] → support-major block broadcasts [S·outH, 1] / [S·outW]
+    (the traced analog of :func:`_dis_broadcast`)."""
+    dx = rings.dis_x.T.reshape(-1).astype(dtype)[:, None]
+    dy = rings.dis_y.T.reshape(-1).astype(dtype)[None, :]
+    return dx, dy
+
+
+def steering_gaussian_resize_rings(img, rho, sigma_x, sigma_y,
+                                   rings: ResizeRings, *,
+                                   max_sigma: float = 10.0,
+                                   pad_mode: str = "constant"):
+    """Dynamic-scale steering resize: bit-identical to
+    :func:`steering_gaussian_resize` (upscale, support 2) with every
+    scale-dependent array a traced input — build ``rings`` per scale on the
+    host (``ResizeOperands.create`` + :func:`resize_rings`) and reuse one
+    jitted program across scales (tests/test_dynamic_resize.py).
+
+    Matches the reference serving semantics at
+    eval_lut_sr.py:644-661 (per-image/scale host ``set_shape``).
+    """
+    S = rings.dis_x.shape[1]
+    rho, sigma_x, sigma_y = decode_gaussian_hyper(rho, sigma_x, sigma_y,
+                                                  max_sigma)
+    xp = pad2d(img, (1, 1), (1, 1), pad_mode)
+    f_rho, f_sx, f_sy = (
+        _rings_resize_gather(pad2d(h, (1, 1), (1, 1), "edge"), rings, S)
+        for h in (rho, sigma_x, sigma_y))
+    dx, dy = _rings_dis_broadcast(rings, img.dtype)
+    weights = steering_gaussian_weight(f_rho, f_sx, f_sy, dx, dy)
+    neighbors = _rings_resize_gather(xp, rings, S)
+    wn, ws = _block_sums(weights, neighbors, S)
+    return wn / ws
+
+
+def amplified_linear_resize_rings(img, alpha, rings: ResizeRings, *,
+                                  max_alpha: float = 1.0,
+                                  pad_mode: str = "constant"):
+    """Dynamic-scale amplified-linear resize — rings counterpart of
+    :func:`amplified_linear_resize` (build ``rings`` with ``linear=True``
+    so the float64 branch masks ride along)."""
+    S = rings.dis_x.shape[1]
+    alpha = decode_linear_hyper(alpha, max_alpha)
+    xp = pad2d(img, (1, 1), (1, 1), pad_mode)
+    f_alpha = _rings_resize_gather(pad2d(alpha, (1, 1), (1, 1), "edge"),
+                                   rings, S)
+    dx, dy = _rings_dis_broadcast(rings, img.dtype)
+    masks_x = tuple(m.T.reshape(-1)[:, None] for m in rings.masks_x)
+    masks_y = tuple(m.T.reshape(-1)[None, :] for m in rings.masks_y)
+    weights = amplified_linear_weight(f_alpha, dx, dy, masks_x, masks_y)
+    neighbors = _rings_resize_gather(xp, rings, S)
+    wn, ws = _block_sums(weights, neighbors, S)
+    return wn / ws
+
+
 def _mask_from_grid(grid_x, grid_y, in_sz, border: int = 4):
     """Validity mask from a precomputed projection grid: the support-1 box
     warp of a border-zeroed all-255 image (``_warp_axis`` geometry, same
@@ -895,6 +995,132 @@ def nearest_warp_mask_host(in_sz, matrix, out_sz, border: int = 4):
 
     grid_x, grid_y = _warp_grid(matrix, in_sz, out_sz)
     return _mask_from_grid(grid_x, grid_y, in_sz, border)
+
+
+def rings_for_bucket(rings: WarpRings, in_sz, in_bucket, n_bucket: int):
+    """Re-express host-built :class:`WarpRings` for bucket-shaped program
+    frames (the rings-level counterpart of ``WarpOperands.for_bucket`` —
+    same semantics: only SHAPES move to the bucket frame).  Distance pads
+    are zero; the linear branch masks pad as ``(neg=0, pos=1)``, exactly
+    what ``_branch_masks`` produces on a zero distance, so bit-parity with
+    masks computed after ``for_bucket`` holds."""
+    hb, wb = (int(v) for v in in_bucket)
+    n = rings.corner.shape[0]
+    in_h, in_w = (int(v) for v in in_sz)
+    if hb < in_h or wb < in_w or n_bucket < n:
+        raise ValueError("bucket smaller than the true shapes")
+    ring_x = np.pad(rings.ring_x, (0, hb - in_h), mode="edge")
+    ring_y = np.pad(rings.ring_y, (0, wb - in_w), mode="edge")
+    cx, cy = np.divmod(rings.corner.astype(np.int64), in_w + 3)
+    corner = np.pad(cx * (wb + 3) + cy, (0, n_bucket - n)).astype(np.int32)
+    pad = ((0, n_bucket - n), (0, 0))
+    mk = None, None
+    if rings.masks_x is not None:
+        mk = (tuple(np.pad(m, pad, constant_values=v)
+                    for m, v in zip(rings.masks_x, (0.0, 1.0))),
+              tuple(np.pad(m, pad, constant_values=v)
+                    for m, v in zip(rings.masks_y, (0.0, 1.0))))
+    return WarpRings(ring_x, ring_y, corner,
+                     np.pad(rings.dis_x, pad), np.pad(rings.dis_y, pad),
+                     mk[0], mk[1])
+
+
+def warp_serving_host_fused(in_sz, matrix, out_sz, *, border: int = 4,
+                            linear: bool = False, dtype=np.float32,
+                            block_rows: int = 64):
+    """Fused single-pass host precompute for dynamic-warp serving:
+    ``(WarpRings, validity mask)`` in one row-blocked sweep.
+
+    The separate-pass path (``warp_serving_host`` + :func:`warp_rings`)
+    materializes ~15 full-frame float64 intermediates — grid components,
+    int64 candidates, distances, the mask's padded-gather operands — and on
+    a bandwidth-bound host each costs a DRAM round trip (~30 MB/frame at
+    1440p each).  Here every intermediate lives in a ``block_rows``-row
+    cache-resident block and only the serving OUTPUTS stream to memory:
+    the int32 corner (4 B/px), the float32 distances (16 B/px), and the
+    bool mask (1 B/px) — ~21 B/px vs ~150+ B/px.  The mask's fancy-index
+    gather is replaced by arithmetic (``box(d)·neigh == 255`` ⇔ both box
+    factors are 1 AND the clipped support-1 index lands in the white
+    region), exact on the {0, 255} lattice.
+
+    Bit-parity: every float64 expression matches ``_warp_grid`` /
+    ``_serving_axis`` / ``_mask_from_grid`` term-for-term (blocking doesn't
+    change elementwise float64 results), and the single cast to ``dtype``
+    happens exactly where :func:`warp_rings` casts
+    (tests/test_dynamic_warp.py::test_fused_host_precompute_bit_equal).
+    Support-2 only, like the rest of the dynamic-warp serving form.
+    """
+    in_h, in_w = (int(v) for v in in_sz)
+    oh, ow = (int(v) for v in out_sz)
+    inv = np.linalg.inv(np.asarray(matrix, dtype=np.float64))
+    eps = float(np.finfo(np.float32).eps)
+    xs = np.arange(ow, dtype=np.float64)
+
+    def scalar_grid(y, x):
+        den = (inv[2, 0] * x + inv[2, 2]) + inv[2, 1] * y
+        sx = ((inv[0, 0] * x + inv[0, 2]) + inv[0, 1] * y) / den
+        sy = ((inv[1, 0] * x + inv[1, 2]) + inv[1, 1] * y) / den
+        return min(max(sy, 0.0), float(in_h)), min(max(sx, 0.0), float(in_w))
+
+    # pads are set by the FIRST output pixel alone (the reference's
+    # ``pad0 = max(-fov[0,0,0], 0)`` quirk, resize_right2d_numpy.py:365)
+    g00x, g00y = scalar_grid(0.0, 0.0)
+    pad0 = (int(max(-int(np.ceil(g00x - 1.0 - eps)), 0)),
+            int(max(-int(np.ceil(g00y - 1.0 - eps)), 0)))
+    pad0m = (int(max(-int(np.ceil(g00x - 0.5 - eps)), 0)),
+             int(max(-int(np.ceil(g00y - 0.5 - eps)), 0)))
+
+    def ring(in_n, p0):
+        q = np.arange(in_n + 4, dtype=np.int64)
+        return (np.clip(q - 1, 0, in_n - 1) - p0 + 1).astype(np.int32)
+
+    corner = np.empty((oh, ow), np.int32)
+    dis = [np.empty((oh, ow, 2), dtype) for _ in range(2)]
+    mask = np.empty((oh, ow), bool)
+    msk = [[np.empty((oh, ow, 2), dtype) for _ in range(2)]
+           for _ in range(2)] if linear else None
+
+    for r0 in range(0, oh, block_rows):
+        r1 = min(r0 + block_rows, oh)
+        sl = slice(r0, r1)
+        ysb = np.arange(r0, r1, dtype=np.float64)[:, None]
+        den = (inv[2, 0] * xs + inv[2, 2]) + inv[2, 1] * ysb
+        sx = ((inv[0, 0] * xs + inv[0, 2]) + inv[0, 1] * ysb) / den
+        sy = ((inv[1, 0] * xs + inv[1, 2]) + inv[1, 1] * ysb) / den
+        cxy = []
+        okb = None
+        for ax, (g, in_n) in enumerate((((sy.clip(0, in_h)), in_h),
+                                        ((sx.clip(0, in_w)), in_w))):
+            left = np.ceil(g - 1.0 - eps)
+            shifted = g + pad0[ax]
+            for j in (0, 1):
+                t = np.clip(left + (j + pad0[ax]), 0, in_n - 1)
+                d = shifted - t
+                dis[ax][sl, :, j] = d
+                if linear:
+                    neg, pos = _branch_masks(d, dtype)
+                    msk[ax][0][sl, :, j] = neg
+                    msk[ax][1][sl, :, j] = pos
+            cxy.append(left + (pad0[ax] + 1))
+            # support-1 mask axis: box(dm) == 1 AND the clipped index lands
+            # on a white (inside-border) source row
+            lm = np.ceil(g - 0.5 - eps)
+            fm = np.clip(lm + pad0m[ax], 0, in_n - 1)
+            dm = (g + pad0m[ax]) - fm
+            ok = ((-1.0 <= dm) & (dm <= 1.0)
+                  & (fm >= pad0m[ax] + border)
+                  & (fm <= pad0m[ax] + in_n - 1 - border))
+            okb = ok if okb is None else (okb & ok)
+        corner[sl] = (cxy[0] * (in_w + 3) + cxy[1]).astype(np.int32)
+        mask[sl] = okb
+
+    n = oh * ow
+    rings = WarpRings(
+        ring(in_h, pad0[0]), ring(in_w, pad0[1]), corner.reshape(n),
+        dis[0].reshape(n, 2), dis[1].reshape(n, 2),
+        tuple(m.reshape(n, 2) for m in msk[0]) if linear else None,
+        tuple(m.reshape(n, 2) for m in msk[1]) if linear else None)
+    return rings, mask
 
 
 def warp_serving_host(in_sz, matrix, out_sz, *, border: int = 4):

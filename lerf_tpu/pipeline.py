@@ -16,20 +16,24 @@ import numpy as np
 from .lut.io import LUTBank
 from .ops import (
     ResizeGeometry,
+    ResizeOperands,
     WarpGeometry,
     amplified_linear_resize,
+    amplified_linear_resize_rings,
     amplified_linear_warp,
     amplified_linear_warp_rings,
     lut_stage1,
     lut_stage2,
     nearest_warp_mask,
+    resize_rings,
+    resolve_scale_and_out_sz,
     split_gaussian_hyper,
     steering_gaussian_resize,
+    steering_gaussian_resize_rings,
     steering_gaussian_warp,
     steering_gaussian_warp_rings,
-    warp_rings,
-    warp_serving_host,
 )
+from .ops.resample import rings_for_bucket, warp_serving_host_fused
 from .ops.lut_pipeline import PackedTables, lut_stage1_intermediate
 
 
@@ -97,6 +101,39 @@ def _bucket_prep(img_hwc, scale_h, scale_w, granularity):
     return padded, (hb, wb), (h, w)
 
 
+def _dyn_resize_host(img_hwc, scale_h, scale_w, granularity, supp_size,
+                     linear):
+    """Host prep shared by the ``upscale_dynamic`` entry points.
+
+    Returns ``(rings, program_key, image, out_sz)`` — where ``program_key``
+    is ``(in_sz, out_sz)`` (granularity 0) or
+    ``("bucket", in_bucket, out_bucket)`` with ``image`` edge-padded to the
+    in-bucket — or ``None`` when the request is outside the dynamic serving
+    envelope (support ≠ 2, a downscaling axis, or the scale-1 skip path) and
+    the caller must use the exact per-shape path."""
+    sh, sw = float(scale_h), float(scale_w)
+    if supp_size != 2 or (sh == 1.0 and sw == 1.0):
+        return None
+    in_sz = img_hwc.shape[:2]
+    try:
+        ops_ = ResizeOperands.create(in_sz, scale_factors=[sh, sw])
+    except ValueError:
+        return None
+    out_sz = ops_.out_sz
+    if granularity > 0:
+        g = int(granularity)
+        hb, wb = -(-in_sz[0] // g) * g, -(-in_sz[1] // g) * g
+        ohb = -(-out_sz[0] // g) * g
+        owb = -(-out_sz[1] // g) * g
+        rings = resize_rings(ops_.for_bucket((hb, wb), (ohb, owb)),
+                             linear=linear)
+        padded = np.pad(img_hwc, ((0, hb - in_sz[0]), (0, wb - in_sz[1]),
+                                  (0, 0)), mode="edge")
+        return rings, ("bucket", (hb, wb), (ohb, owb)), padded, out_sz
+    rings = resize_rings(ops_, linear=linear)
+    return rings, (in_sz, out_sz), img_hwc, out_sz
+
+
 class NetPredictor:
     """Two-stage *network* inference: feature net → hyper net → resample.
 
@@ -134,6 +171,7 @@ class NetPredictor:
         self._warp_cache: Dict = {}
         self._bucket_cache: Dict = {}
         self._warp_dyn_cache: Dict = {}
+        self._resize_dyn_cache: Dict = {}
 
     @classmethod
     def from_srnets(cls, params, *, modes=("s", "c", "t"),
@@ -337,6 +375,74 @@ class NetPredictor:
         out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
         return out_u8[:int(round(h * sh)), :int(round(w * sw))]
 
+    def _resample_rings(self, feat, hyper, rings):
+        """Shared rings-resize dispatch for the net forms (float stage
+        outputs, hyper layout [C,H,W,oC] — see :meth:`_resize_fn`)."""
+        if self.linear:
+            return amplified_linear_resize_rings(feat, hyper[..., 0], rings)
+        return steering_gaussian_resize_rings(
+            feat, hyper[..., 0], hyper[..., 1], hyper[..., 2], rings,
+            max_sigma=self.max_sigma)
+
+    def _resize_dyn_fn(self, in_sz, out_sz):
+        key = (in_sz, out_sz)
+        if key not in self._resize_dyn_cache:
+
+            @jax.jit
+            def run(img_f, rings):
+                feat, hyper = self._stages(img_f)
+                out = self._resample_rings(feat, hyper, rings)
+                return _quantize_device(out, self.norm)
+
+            self._resize_dyn_cache[key] = run
+        return self._resize_dyn_cache[key]
+
+    def _resize_dyn_bucket_fn(self, in_bucket, out_bucket):
+        key = ("bucket", in_bucket, out_bucket)
+        if key not in self._resize_dyn_cache:
+
+            @jax.jit
+            def run(img_f, rings, h, w):
+                feat, hyper = self._stages(img_f, clamp_hw=(h, w))
+                valid = ((jnp.arange(in_bucket[0]) < h)[:, None]
+                         & (jnp.arange(in_bucket[1]) < w)[None, :])
+                out = self._resample_rings(jnp.where(valid, feat, 0.0),
+                                           hyper, rings)
+                return _quantize_device(out, self.norm)
+
+            self._resize_dyn_cache[key] = run
+        return self._resize_dyn_cache[key]
+
+    def upscale_dynamic(self, img_hwc: np.ndarray, scale_h: float,
+                        scale_w: float, granularity: int = 0):
+        """Arbitrary-scale SR serving for the net forms — no per-scale
+        recompiles (see :meth:`LutPredictor.upscale_dynamic`; identical
+        construction).  The bucketed mode (``granularity>0``) requires
+        replicate-pad stages (SRNet form); the IMDN form serves through the
+        per-(in, out)-shape dynamic program instead."""
+        img = np.asarray(img_hwc)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        if granularity > 0 and self.stage_pad != "replicate":
+            granularity = 0
+        prep = _dyn_resize_host(img, scale_h, scale_w, granularity,
+                                self.supp_size, self.linear)
+        if prep is None:
+            return self.upscale(img, scale_h, scale_w)
+        rings, key, image, out_sz = prep
+        chw = np.ascontiguousarray(image.transpose(2, 0, 1)) \
+            .astype(np.float32) / self.norm
+        if key[0] == "bucket":
+            run = self._resize_dyn_bucket_fn(key[1], key[2])
+            h, w = img.shape[:2]
+            out = run(jnp.asarray(chw), rings, jnp.asarray(h, jnp.int32),
+                      jnp.asarray(w, jnp.int32))
+        else:
+            run = self._resize_dyn_fn(*key)
+            out = run(jnp.asarray(chw), rings)
+        out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
+        return out_u8[:out_sz[0], :out_sz[1]]
+
     def upscale_batch(self, imgs_bhwc: np.ndarray, scale_h: float,
                       scale_w: float) -> np.ndarray:
         """Serving form: uint8 [B,H,W,C] → uint8 [B,outH,outW,C] — one
@@ -455,14 +561,14 @@ class NetPredictor:
             img = np.stack([img] * 3, axis=-1)
         in_sz = img.shape[:2]
         out_hw = tuple(int(v) for v in out_hw)
-        ops_, mask = warp_serving_host(in_sz, matrix, out_hw, border=4)
+        rings, mask = warp_serving_host_fused(in_sz, matrix, out_hw,
+                                              border=4, linear=self.linear)
         if granularity > 0 and self.stage_pad == "replicate":
             g = int(granularity)
             hb, wb = -(-in_sz[0] // g) * g, -(-in_sz[1] // g) * g
             n = out_hw[0] * out_hw[1]
             nb = -(-n // (g * g)) * (g * g)
-            rings = warp_rings(ops_.for_bucket((hb, wb), nb),
-                               linear=self.linear)
+            rings = rings_for_bucket(rings, in_sz, (hb, wb), nb)
             padded = np.pad(img, ((0, hb - in_sz[0]), (0, wb - in_sz[1]),
                                   (0, 0)), mode="edge")
             chw = np.ascontiguousarray(padded.transpose(2, 0, 1)) \
@@ -476,7 +582,6 @@ class NetPredictor:
             return out_u8, mask
         chw = np.ascontiguousarray(img.transpose(2, 0, 1)) \
             .astype(np.float32) / self.norm
-        rings = warp_rings(ops_, linear=self.linear)
         run = self._warp_dyn_fn(in_sz, out_hw)
         out = run(jnp.asarray(chw), rings)
         out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
@@ -575,6 +680,7 @@ class LutPredictor:
         self._warp_cache: Dict = {}
         self._bucket_cache: Dict = {}
         self._warp_dyn_cache: Dict = {}
+        self._resize_dyn_cache: Dict = {}
 
     # -- stages -------------------------------------------------------------
 
@@ -713,6 +819,98 @@ class LutPredictor:
                   jnp.asarray(w, jnp.int32))
         out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
         return out_u8[:int(round(h * sh)), :int(round(w * sw))]
+
+    # -- dynamic-scale serving ------------------------------------------------
+
+    def _resample_rings(self, feat, hyper, rings):
+        """Shared rings-resize dispatch: decode the LUT stage outputs like
+        the static path (:meth:`_resize_fn`) and resample with traced
+        geometry."""
+        featf = feat.astype(jnp.float32)
+        if self.linear:
+            alpha = hyper[..., 0].astype(jnp.float32) / self.norm
+            return amplified_linear_resize_rings(featf, alpha, rings)
+        rho, sx, sy = split_gaussian_hyper(hyper, self.norm)
+        return steering_gaussian_resize_rings(featf, rho, sx, sy, rings,
+                                              max_sigma=self.max_sigma)
+
+    def _resize_dyn_fn(self, in_sz, out_sz):
+        key = (in_sz, out_sz)
+        if key not in self._resize_dyn_cache:
+
+            @jax.jit
+            def run(img_i32, rings):
+                feat, hyper = self._stages_fn(img_i32)
+                out = self._resample_rings(feat, hyper, rings)
+                return _quantize_device(out, self.norm)
+
+            self._resize_dyn_cache[key] = run
+        return self._resize_dyn_cache[key]
+
+    def _resize_dyn_bucket_fn(self, in_bucket, out_bucket):
+        key = ("bucket", in_bucket, out_bucket)
+        if key not in self._resize_dyn_cache:
+
+            @jax.jit
+            def run(img_i32, rings, h, w):
+                feat, hyper = self._stages_fn(img_i32, clamp_hw=(h, w))
+                # feat beyond (h, w) must be ZERO so the bucket plane's row
+                # h+1 holds exactly the true program's constant-pad row;
+                # hyper stays clamped-replicated (edge-pad parity) — the
+                # same split as _bucket_fn
+                valid = ((jnp.arange(in_bucket[0]) < h)[:, None]
+                         & (jnp.arange(in_bucket[1]) < w)[None, :])
+                out = self._resample_rings(jnp.where(valid, feat, 0), hyper,
+                                           rings)
+                return _quantize_device(out, self.norm)
+
+            self._resize_dyn_cache[key] = run
+        return self._resize_dyn_cache[key]
+
+    def upscale_dynamic(self, img_hwc: np.ndarray, scale_h: float,
+                        scale_w: float, granularity: int = 0):
+        """Arbitrary-scale SR as a SERVING form — no per-scale recompiles.
+
+        :meth:`upscale` bakes the per-scale geometry into the program (and
+        only rational scales with period ≤ 32 take the gather-free periodic
+        path; :meth:`upscale_bucketed` additionally needs exact
+        ``out == scale·in`` alignment).  Here the per-axis geometry becomes
+        traced DATA (ops.geometry.ResizeOperands: left-neighbor indices into
+        a fixed ±1 pad + float64 distances, two O(out) 1-D host passes):
+
+        * ``granularity=0`` — one compiled program per (in_sz, out_sz)
+          shape pair, ANY ``(scale_h, scale_w)``.
+        * ``granularity=g>0`` — fully recompile-free: input and output pad
+          to shape buckets (stages re-clamped like :meth:`upscale_bucketed`),
+          so one program per (in-bucket, out-bucket) serves any image size
+          and any scale.
+
+        Both modes are bit-identical to :meth:`upscale`
+        (tests/test_dynamic_resize.py).  Upscaling only (the SR deploy
+        envelope — anti-aliased downscale inflates the support and keeps
+        the per-shape path); falls back to :meth:`upscale` outside it.
+        Match: the reference's per-image host ``set_shape`` serving
+        (eval_lut_sr.py:644-661).
+        """
+        img = np.asarray(img_hwc)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        prep = _dyn_resize_host(img, scale_h, scale_w, granularity,
+                                self.supp_size, self.linear)
+        if prep is None:
+            return self.upscale(img, scale_h, scale_w)
+        rings, key, image, out_sz = prep
+        chw = np.ascontiguousarray(image.transpose(2, 0, 1)).astype(np.int32)
+        if key[0] == "bucket":
+            run = self._resize_dyn_bucket_fn(key[1], key[2])
+            h, w = img.shape[:2]
+            out = run(jnp.asarray(chw), rings, jnp.asarray(h, jnp.int32),
+                      jnp.asarray(w, jnp.int32))
+        else:
+            run = self._resize_dyn_fn(*key)
+            out = run(jnp.asarray(chw), rings)
+        out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
+        return out_u8[:out_sz[0], :out_sz[1]]
 
     def upscale_batch(self, imgs_bhwc: np.ndarray, scale_h: float,
                       scale_w: float) -> np.ndarray:
@@ -875,14 +1073,14 @@ class LutPredictor:
             img = np.stack([img] * 3, axis=-1)
         in_sz = img.shape[:2]
         out_hw = tuple(int(v) for v in out_hw)
-        ops_, mask = warp_serving_host(in_sz, matrix, out_hw, border=4)
+        rings, mask = warp_serving_host_fused(in_sz, matrix, out_hw,
+                                              border=4, linear=self.linear)
         if granularity > 0:
             g = int(granularity)
             hb, wb = -(-in_sz[0] // g) * g, -(-in_sz[1] // g) * g
             n = out_hw[0] * out_hw[1]
             nb = -(-n // (g * g)) * (g * g)
-            rings = warp_rings(ops_.for_bucket((hb, wb), nb),
-                               linear=self.linear)
+            rings = rings_for_bucket(rings, in_sz, (hb, wb), nb)
             padded = np.pad(img, ((0, hb - in_sz[0]), (0, wb - in_sz[1]),
                                   (0, 0)), mode="edge")
             chw = np.ascontiguousarray(padded.transpose(2, 0, 1)) \
@@ -900,7 +1098,6 @@ class LutPredictor:
                     np.asarray(hyper)[..., :h, :w, :]
             return out_u8, mask
         chw = np.ascontiguousarray(img.transpose(2, 0, 1)).astype(np.int32)
-        rings = warp_rings(ops_, linear=self.linear)
         run = self._warp_dyn_fn(in_sz, out_hw)
         out, feat, hyper = run(jnp.asarray(chw), rings)
         out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)

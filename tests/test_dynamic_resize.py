@@ -1,0 +1,201 @@
+"""Dynamic-scale SR serving (pipeline.upscale_dynamic /
+ops.resample.*_resize_rings): the per-axis scale geometry becomes traced
+data over a fixed ±1 pad, so ONE compiled program serves ANY
+(scale_h, scale_w) at a given shape frame — and must be bit-identical to
+the per-scale jitted path, including non-periodic scales (period > 32)
+that fall off the gather-free slab path entirely."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lerf_tpu.lut.io import LUTBank
+from lerf_tpu.models import srnet
+from lerf_tpu.ops import (ResizeGeometry, ResizeOperands,
+                          amplified_linear_resize,
+                          amplified_linear_resize_rings, resize_rings,
+                          steering_gaussian_resize,
+                          steering_gaussian_resize_rings)
+from lerf_tpu.pipeline import LutPredictor, NetPredictor
+
+L4 = 17 ** 4
+MODES = ("s", "c", "t")
+IN_SZ = (13, 17)
+
+# spans the envelope: integer, aligned fractional, non-aligned fractional,
+# non-periodic (rational period > MAX_FOV_PERIOD=32), mixed axes, scale-1
+# on one axis
+SCALES = [(2.0, 2.0), (3.0, 3.0), (1.5, 2.0), (2.5, 2.5), (3.55, 3.55),
+          (1.0, 1.7), (4.0, 4.0), (1.37, 2.93)]
+
+
+def test_operands_match_geometry():
+    """Indices/distances must reproduce ResizeGeometry's exactly (the ±1
+    frame re-expression changes only the index origin)."""
+    for scale in SCALES:
+        geom = ResizeGeometry.create(IN_SZ, scale_factors=list(scale),
+                                     support=2)
+        ops_ = ResizeOperands.create(IN_SZ, scale_factors=list(scale))
+        assert geom.out_sz == ops_.out_sz
+        np.testing.assert_array_equal(geom.dis_x, ops_.dis_x)
+        np.testing.assert_array_equal(geom.dis_y, ops_.dis_y)
+        # fov is stored in the pad0-padded frame; pad0 == 1 over the
+        # upscale envelope, so the ±1-frame index equals it
+        np.testing.assert_array_equal(geom.fov_x[:, 0], ops_.idx_x)
+        np.testing.assert_array_equal(geom.fov_y[:, 0], ops_.idx_y)
+
+
+def test_operands_reject_downscale_and_support():
+    with pytest.raises(ValueError):
+        ResizeOperands.create(IN_SZ, scale_factors=[0.5, 2.0])
+    with pytest.raises(ValueError):
+        ResizeOperands.create(IN_SZ, scale_factors=[2.0, 2.0], support=4)
+
+
+def test_rings_ops_bit_equal_across_scales():
+    rng = np.random.RandomState(0)
+    img = rng.rand(3, *IN_SZ).astype(np.float32) * 255.0
+    hyp = [rng.rand(3, *IN_SZ).astype(np.float32) for _ in range(3)]
+    for scale in SCALES:
+        geom = ResizeGeometry.create(IN_SZ, scale_factors=list(scale),
+                                     support=2)
+        rings = resize_rings(ResizeOperands.create(IN_SZ,
+                                                   scale_factors=list(scale)))
+        want = steering_gaussian_resize(jnp.asarray(img),
+                                        *map(jnp.asarray, hyp), geom)
+        got = steering_gaussian_resize_rings(jnp.asarray(img),
+                                             *map(jnp.asarray, hyp), rings)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_rings_ops_linear_bit_equal():
+    rng = np.random.RandomState(1)
+    img = rng.rand(3, *IN_SZ).astype(np.float32) * 255.0
+    alpha = rng.rand(3, *IN_SZ).astype(np.float32)
+    for scale in SCALES[:4]:
+        geom = ResizeGeometry.create(IN_SZ, scale_factors=list(scale),
+                                     support=2)
+        rings = resize_rings(
+            ResizeOperands.create(IN_SZ, scale_factors=list(scale)),
+            linear=True)
+        want = amplified_linear_resize(jnp.asarray(img), jnp.asarray(alpha),
+                                       geom)
+        got = amplified_linear_resize_rings(jnp.asarray(img),
+                                            jnp.asarray(alpha), rings)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def _lut_predictor(linear=False):
+    rng = np.random.RandomState(7)
+    oc = 1 if linear else 3
+    bank = LUTBank(
+        stage1={m: rng.randint(-127, 128, (L4, 1)).astype(np.int8)
+                for m in MODES},
+        stage2={f"{m}r{r}": rng.randint(-127, 128, (L4, oc)).astype(np.int8)
+                for m in MODES for r in (0, 1)},
+        out_c=oc)
+    return LutPredictor(bank, linear=linear)
+
+
+def test_lut_upscale_dynamic_bit_exact_one_program():
+    """Scales that share (in, out) shapes must share ONE compiled program
+    (2.0 and 1.97 both produce out = 42×52 at 21×26)."""
+    pred = _lut_predictor()
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, (21, 26, 3), dtype=np.uint8)
+    for s in [(2.0, 2.0), (1.97, 1.97), (1.99, 1.98)]:
+        want = pred.upscale(img, *s)
+        got = pred.upscale_dynamic(img, *s)
+        np.testing.assert_array_equal(want, got)
+    assert len(pred._resize_dyn_cache) == 1   # one program, three scales
+    assert len(pred._resize_cache) == 3       # vs one per scale
+
+
+def test_lut_upscale_dynamic_nonperiodic_scale():
+    """×3.55 has rational period 71 > MAX_FOV_PERIOD — the per-scale path
+    must use the index-gather fallback and the dynamic path must match it
+    bit-for-bit."""
+    from lerf_tpu.ops.resample import MAX_FOV_PERIOD, _periodic_fov
+    pred = _lut_predictor()
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (20, 20, 3), dtype=np.uint8)
+    geom = ResizeGeometry.create((20, 20), scale_factors=[3.55, 3.55],
+                                 support=2)
+    assert _periodic_fov(geom.fov_x, geom.out_sz[0], 3.55) is None
+    assert MAX_FOV_PERIOD < 71
+    want = pred.upscale(img, 3.55, 3.55)
+    got = pred.upscale_dynamic(img, 3.55, 3.55)
+    np.testing.assert_array_equal(want, got)
+
+
+def test_lut_upscale_dynamic_linear_form():
+    pred = _lut_predictor(linear=True)
+    rng = np.random.RandomState(10)
+    img = rng.randint(0, 256, (18, 15, 3), dtype=np.uint8)
+    for s in [(2.0, 2.0), (2.5, 1.5)]:
+        want = pred.upscale(img, *s)
+        got = pred.upscale_dynamic(img, *s)
+        np.testing.assert_array_equal(want, got)
+
+
+def test_lut_upscale_bucketed_dynamic_bit_exact():
+    """granularity>0: one program per (in-bucket, out-bucket) must serve
+    different image shapes AND scales bit-exactly — including scales where
+    upscale_bucketed's out == scale·in alignment fails."""
+    pred = _lut_predictor()
+    rng = np.random.RandomState(11)
+    cases = [((21, 26), (2.0, 2.0)),
+             ((19, 23), (2.26, 2.26)),   # ceil output, non-aligned
+             ((21, 26), (2.17, 2.0))]
+    for in_sz, s in cases:
+        img = rng.randint(0, 256, (*in_sz, 3), dtype=np.uint8)
+        want = pred.upscale(img, *s)
+        got = pred.upscale_dynamic(img, *s, granularity=16)
+        np.testing.assert_array_equal(want, got)
+    keys = [k for k in pred._resize_dyn_cache if k[0] == "bucket"]
+    # all three (shape, scale) combos share the single
+    # ((32,32) → (48,64))-bucket program
+    assert keys == [("bucket", (32, 32), (48, 64))]
+
+
+def test_net_upscale_dynamic_bit_exact():
+    params = srnet.init_lerf_nets(jax.random.PRNGKey(0), nf=8, out_c=3)
+    pred = NetPredictor.from_srnets(params)
+    rng = np.random.RandomState(12)
+    img = rng.randint(0, 256, (17, 19, 3), dtype=np.uint8)
+    for s in [(2.0, 2.0), (3.55, 3.55)]:
+        want = pred.upscale(img, *s)
+        got = pred.upscale_dynamic(img, *s)
+        np.testing.assert_array_equal(want, got)
+    assert len(pred._resize_dyn_cache) == 2
+
+
+def test_net_upscale_dynamic_bucketed():
+    """SRNet form (replicate-pad float stages): bucketed dynamic serving;
+    allow only exact-rounding-tie slack like the bucketed warp test."""
+    params = srnet.init_lerf_nets(jax.random.PRNGKey(2), nf=8, out_c=3)
+    pred = NetPredictor.from_srnets(params)
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (17, 19, 3), dtype=np.uint8)
+    want = pred.upscale(img, 2.3, 2.3)
+    got = pred.upscale_dynamic(img, 2.3, 2.3, granularity=16)
+    diff = np.abs(want.astype(np.int32) - got.astype(np.int32))
+    assert diff.max() <= 1 and (diff != 0).mean() < 1e-2
+
+
+def test_upscale_dynamic_fallback_outside_envelope(monkeypatch):
+    """Downscales (anti-alias inflates support) and scale-1 skips must fall
+    back to the exact per-shape path."""
+    pred = _lut_predictor()
+    called = []
+
+    def fake_upscale(img, sh, sw, return_aux=False):
+        called.append((sh, sw))
+        return "out"
+
+    monkeypatch.setattr(pred, "upscale", fake_upscale)
+    img = np.zeros((8, 8, 3), np.uint8)
+    assert pred.upscale_dynamic(img, 0.5, 2.0) == "out"
+    assert pred.upscale_dynamic(img, 1.0, 1.0) == "out"
+    assert called == [(0.5, 2.0), (1.0, 1.0)]
+    assert not pred._resize_dyn_cache

@@ -92,6 +92,56 @@ def test_host_mask_matches_device():
         np.testing.assert_array_equal(dev, host)
 
 
+def test_fused_host_precompute_bit_equal():
+    """warp_serving_host_fused (one row-blocked pass, arithmetic mask) must
+    reproduce the separate-pass operands/mask bit-for-bit: the rings leaves
+    including float32-cast distances and linear branch masks, across odd
+    block boundaries."""
+    from lerf_tpu.ops.resample import warp_serving_host_fused
+
+    for m in _matrices():
+        for linear in (False, True):
+            ops = WarpOperands.create(IN_SZ, m, OUT_SZ)
+            want = warp_rings(ops, linear=linear)
+            got, got_mask = warp_serving_host_fused(
+                IN_SZ, m, OUT_SZ, linear=linear, block_rows=7)
+            np.testing.assert_array_equal(want.ring_x, got.ring_x)
+            np.testing.assert_array_equal(want.ring_y, got.ring_y)
+            np.testing.assert_array_equal(want.corner, got.corner)
+            np.testing.assert_array_equal(want.dis_x, got.dis_x)
+            np.testing.assert_array_equal(want.dis_y, got.dis_y)
+            if linear:
+                for w_, g_ in zip(want.masks_x + want.masks_y,
+                                  got.masks_x + got.masks_y):
+                    np.testing.assert_array_equal(w_, g_)
+            np.testing.assert_array_equal(
+                nearest_warp_mask_host(IN_SZ, m, OUT_SZ, border=4), got_mask)
+
+
+def test_rings_for_bucket_matches_operands_bucket():
+    """rings_for_bucket (rings-level bucketing) must equal bucketing at the
+    operands level then building rings — including the linear masks' pad
+    values (neg=0, pos=1)."""
+    from lerf_tpu.ops.resample import rings_for_bucket
+
+    m = _matrices()[1]
+    nb = 48 * 48
+    for linear in (False, True):
+        ops = WarpOperands.create(IN_SZ, m, OUT_SZ)
+        want = warp_rings(ops.for_bucket((48, 48), nb), linear=linear)
+        got = rings_for_bucket(warp_rings(ops, linear=linear), IN_SZ,
+                               (48, 48), nb)
+        np.testing.assert_array_equal(want.ring_x, got.ring_x)
+        np.testing.assert_array_equal(want.ring_y, got.ring_y)
+        np.testing.assert_array_equal(want.corner, got.corner)
+        np.testing.assert_array_equal(want.dis_x, got.dis_x)
+        np.testing.assert_array_equal(want.dis_y, got.dis_y)
+        if linear:
+            for w_, g_ in zip(want.masks_x + want.masks_y,
+                              got.masks_x + got.masks_y):
+                np.testing.assert_array_equal(w_, g_)
+
+
 def _lut_predictor(linear=False):
     rng = np.random.RandomState(7)
     oc = 1 if linear else 3

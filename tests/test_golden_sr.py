@@ -61,6 +61,53 @@ def test_set5_warp_golden(model):
 
 
 @pytest.mark.slow
+def test_set5_sr_golden_dynamic_serving():
+    """The dynamic-scale serving path (one program per shape bucket, scales
+    as traced data) must reproduce the published SR table with ZERO
+    per-shape fallback compiles."""
+    pred = make_predictor("lerf-g")
+    res = run_sr_benchmark(pred, RR, "Set5", [(2, 2), (3, 3), (4, 4)],
+                           dynamic=True, bucket=64)
+    for scale, (want_p, want_s) in GOLDEN_SR["lerf-g"].items():
+        got_p, got_s = res[scale]
+        assert abs(got_p - want_p) < 0.011, (scale, got_p, want_p)
+        assert abs(got_s - want_s) < 0.0011, (scale, got_s, want_s)
+    assert not pred._resize_cache          # no per-shape fallbacks
+    assert all(k[0] == "bucket" for k in pred._resize_dyn_cache)
+
+
+# grid-aligned fractional-scale golden numbers (recorded from the framework's
+# own make_benchmark → eval sequence; README "fractional/anisotropic scales")
+GOLDEN_SR_FRACTIONAL = {(1.5, 2.0): (36.03, 0.9523), (2.5, 2.5): (33.76, 0.9247)}
+
+
+@pytest.mark.slow
+def test_set5_sr_golden_fractional_dynamic(tmp_path):
+    """Non-integer scales end-to-end: generate grid-aligned LR with
+    make_benchmark (anti-aliased bicubic, the reference data recipe —
+    reference README.md:63-71), evaluate through the DYNAMIC serving path,
+    and reproduce the recorded fractional golden numbers — scales that the
+    bucketed-exact path cannot serve without per-shape recompiles."""
+    from lerf_tpu.cli.make_benchmark import main as make_benchmark
+
+    hr_dir = os.path.join(RR, "Set5", "HR")
+    root = tmp_path / "rr"
+    ds_hr = root / "Set5" / "HR"
+    os.makedirs(root / "Set5", exist_ok=True)
+    os.symlink(hr_dir, ds_hr)
+    make_benchmark(["--hrDir", str(ds_hr), "--scales", "1.5x2.0,2.5"])
+
+    pred = make_predictor("lerf-g")
+    res = run_sr_benchmark(pred, str(root), "Set5",
+                           [(1.5, 2.0), (2.5, 2.5)], dynamic=True, bucket=64)
+    for scale, (want_p, want_s) in GOLDEN_SR_FRACTIONAL.items():
+        got_p, got_s = res[scale]
+        assert abs(got_p - want_p) < 0.011, (scale, got_p, want_p)
+        assert abs(got_s - want_s) < 0.0011, (scale, got_s, want_s)
+    assert not pred._resize_cache          # no per-shape fallbacks
+
+
+@pytest.mark.slow
 def test_set5_warp_golden_dynamic_serving():
     """The dynamic-homography serving path (one program per shape pair,
     matrices as traced data) must reproduce the published warp table too."""

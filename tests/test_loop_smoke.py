@@ -6,6 +6,10 @@ import numpy as np
 import pytest
 from PIL import Image
 
+# compiles the full SPMD train step + validation pipelines — minutes on
+# this 1-core host.  Fast tier: `pytest -m "not slow"` (README "Test tiers").
+pytestmark = pytest.mark.slow
+
 from lerf_tpu.config import TrainConfig
 from lerf_tpu.lut.io import load_lut_bank, save_lut_bank
 from lerf_tpu.lut.transfer import transfer_to_lut

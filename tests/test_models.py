@@ -99,6 +99,57 @@ def test_transfer_to_lut_shapes(our_params):
 
 
 @requires_ckpt
+def test_transfer_artifacts_match_reference_driver(ref_module, our_params,
+                                                   monkeypatch):
+    """Array-level cross-check of the LUT transfer ARTIFACTS: run the
+    reference transfer driver's own head loop (transfer_to_lut.py:100-170 —
+    its ``get_input_tensor``/``get_mode_input_tensor`` enumeration, chunked
+    forward, and int8 quantization, CPU torch via the oracle) on the shipped
+    checkpoint and compare the produced tables entry-for-entry against
+    ``lut/transfer.py`` output: ≥99.9% exact, ≤1 LSB anywhere (rounding
+    ties of values agreeing to ~1e-5)."""
+    import torch
+
+    # the reference enumerator hard-codes .cuda(); run it on CPU
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+    from resample.transfer_to_lut import (get_input_tensor,
+                                          get_mode_input_tensor)
+
+    class _Opt:
+        interval = 4
+
+    bank = transfer_to_lut(our_params, out_c=3)
+
+    def run_reference_head(stage, mode, r):
+        it = get_input_tensor(_Opt())
+        if mode != "s":
+            it = get_mode_input_tensor(it, mode)
+        B = it.size(0) // 100
+        outs = []
+        with torch.no_grad():
+            ref_module.eval()
+            for b in range(100):
+                batch = it[b * B:] if b == 99 else it[b * B:(b + 1) * B]
+                out = ref_module(batch, stage, mode, r)
+                outs.append(torch.round(torch.clamp(out, -1, 1) * 127)
+                            .cpu().data.numpy().astype(np.int8))
+        return np.concatenate(outs, 0).reshape(it.shape[0], -1)
+
+    def check(want, got, key):
+        diff = np.abs(want.astype(np.int32) - got.astype(np.int32))
+        assert diff.max() <= 1, (key, diff.max())
+        assert (diff == 0).mean() >= 0.999, (key, (diff == 0).mean())
+
+    for mode in ("s", "c", "t"):
+        for r in (0, 1):
+            check(run_reference_head(2, mode, r),
+                  bank.stage2[f"{mode}r{r}"], f"s2_{mode}r{r}")
+        check(run_reference_head(1, mode, 0), bank.stage1[mode],
+              f"s1_{mode}r0")
+
+
+@requires_ckpt
 def test_predict_stage_matches_torch(ref_module, our_params):
     """Full rotation-ensemble predict parity on a random image."""
     import torch

@@ -5,6 +5,12 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# every test here jit-compiles shard_map pipelines on the virtual 8-device
+# CPU mesh — minutes of compile each on this 1-core host; the driver's
+# dryrun_multichip covers the same pipelines every round.  Fast tier:
+# `pytest -m "not slow"` (README "Test tiers").
+pytestmark = pytest.mark.slow
+
 from lerf_tpu.ops import ResizeGeometry, WarpGeometry, \
     steering_gaussian_resize, steering_gaussian_warp
 from lerf_tpu.parallel import make_mesh
