@@ -368,6 +368,38 @@ def bench_warp_dynamic(h, w, scale=SCALE, iters=40, n_matrices=6):
     return times[len(times) // 2], n_matrices
 
 
+def bench_warp_batch(h, w, scale=SCALE, iters=20, batch=4):
+    """Batched warp serving (LutPredictor.warp_batch): B frames with
+    DISTINCT per-frame homographies through ONE device program.  Returns
+    output MP/s across the batch (end-to-end, incl. per-frame host
+    precompute + transfers)."""
+    from lerf_tpu.lut.io import LUTBank
+    from lerf_tpu.pipeline import LutPredictor
+
+    try:
+        from lerf_tpu.lut.io import load_lut_bank
+        bank = load_lut_bank("/root/reference/models/lerf-g", out_c=3)
+    except Exception:
+        s1, s2 = load_flat_luts()
+        bank = LUTBank(stage1={m: v.astype(np.int8) for m, v in s1.items()},
+                       stage2={k: v.astype(np.int8) for k, v in s2.items()},
+                       out_c=3)
+    pred = LutPredictor(bank)
+    out_hw = (h * scale, w * scale)
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, (batch, h, w, 3), dtype=np.uint8)
+    mats = np.stack([np.eye(3) + rng.randn(3, 3)
+                     * np.array([[.05, .05, 4.0], [.05, .05, 4.0],
+                                 [1e-4, 1e-4, 0.0]]) for _ in range(batch)])
+    for _ in range(2):                                  # compile + warm
+        pred.warp_batch(imgs, mats, out_hw)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        pred.warp_batch(imgs, mats, out_hw)
+    dt = (time.perf_counter() - t0) / iters
+    return batch * out_hw[0] * out_hw[1] / 1e6 / dt
+
+
 def bench_sr_dynamic(h, w, iters=40, granularity=64,
                      scales=((4.0, 4.0), (3.55, 3.55), (2.5, 2.5),
                              (1.5, 2.0))):
@@ -489,6 +521,8 @@ def main(argv=None):
         p50, nscales = bench_sr_dynamic(LR_H, LR_W)
         emit("lerf_g_lut_sr_dynamic_scale_latency_p50", p50,
              unit=f"ms_across_{nscales}_scales_bucket_programs")
+        emit("lerf_g_lut_warp_x4_batch4_distinct_matrices_throughput",
+             bench_warp_batch(LR_H, LR_W), REF_NUMPY_WARP_MPS)
 
 
 if __name__ == "__main__":

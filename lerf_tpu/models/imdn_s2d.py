@@ -181,17 +181,34 @@ def _imd_module(x, p, dc2, mask, dtype, b):
 
 def apply_tower_s2d(p2: Dict, x: jnp.ndarray, *, block: int, nf: int = 12,
                     num_modules: int = 5, distillation_rate: float = 0.25,
-                    dtype: Any = jnp.float32) -> jnp.ndarray:
+                    dtype: Any = jnp.float32,
+                    valid_hw=None) -> jnp.ndarray:
     """IMDN_RTC forward (upscale=1) with s2d-``block`` re-layout.
 
     ``x``: NHWC float in model units.  Handles any H,W (zero-pad + per-conv
     re-mask for non-multiples).  Returns NHWC [B,H,W,out_nc].
+
+    ``valid_hw=(h, w)`` (traced scalars): bucketed serving — the input is
+    zeroed beyond (h, w) and the per-conv re-mask uses the traced bounds,
+    so every conv window inside the valid region sees exactly the zeros
+    the unpadded program's SAME-padding would provide (bit-exact; output
+    beyond (h, w) is garbage the caller masks/clamps).  ``block=1`` makes
+    this the masked execution of the STOCK tower (the b=1 re-embedding is
+    the identity), which is how the base backend serves bucketed.
     """
     b = block
     B, H, W, C = x.shape
     Hp, Wp = -(-H // b) * b, -(-W // b) * b
     mask = None
-    if (Hp, Wp) != (H, W):
+    if valid_hw is not None:
+        h, w = valid_hw
+        m = ((jnp.arange(Hp) < h)[:, None]
+             & (jnp.arange(Wp) < w)[None, :]).astype(dtype)
+        if (Hp, Wp) != (H, W):
+            x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+        x = x * m[None, :, :, None]
+        mask = space_to_depth(m[None, :, :, None], b)     # [1,H2,W2,b^2]
+    elif (Hp, Wp) != (H, W):
         x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
         m = np.zeros((Hp, Wp), np.float32)
         m[:H, :W] = 1.0
@@ -214,11 +231,12 @@ def apply_tower_s2d(p2: Dict, x: jnp.ndarray, *, block: int, nf: int = 12,
 
 def predict_imdn2_s2d(p2: Dict, x: jnp.ndarray, stage: int, *, block: int,
                       nf: int = 12, norm: int = 255,
-                      dtype: Any = jnp.float32):
+                      dtype: Any = jnp.float32, valid_hw=None):
     """IMDN2.predict (model.py:526-537) on s2d-converted params ``p2``
     (from :func:`convert_imdn2`).  x NHWC in [0,1]."""
     params = p2["params"][f"stage{stage}"]
-    y = apply_tower_s2d(params, x, block=block, nf=nf, dtype=dtype)
+    y = apply_tower_s2d(params, x, block=block, nf=nf, dtype=dtype,
+                        valid_hw=valid_hw)
     half = norm // 2
     if stage == 2:
         return jnp.clip(y, -1, 1) / 2 + 0.5

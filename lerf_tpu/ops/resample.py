@@ -579,7 +579,22 @@ def steering_gaussian_warp(img, rho, sigma_x, sigma_y, geom: WarpGeometry, *,
     rows shrink 192→48 bytes, and the TPU gather engine's throughput is
     set by row bytes (≈4× wall-clock on the gather; BASELINE.md
     "row-bytes sweep").
+
+    Batched ``[B, C, H, W]`` inputs (one shared homography — the
+    reference's batch semantics, resize_right2d_torch.py:346-370) vmap the
+    same row-packed path per frame instead of falling to the element
+    gather; per-frame matrices go through ``*_rings`` with stacked
+    operands (pipeline ``warp_batch``).
     """
+    if geom.support == 2 and img.ndim == 4:
+        import jax
+
+        def one(i, r, sx, sy):
+            return steering_gaussian_warp(i, r, sx, sy, geom,
+                                          max_sigma=max_sigma,
+                                          pad_mode=pad_mode,
+                                          u8_inputs=u8_inputs)
+        return jax.vmap(one)(img, rho, sigma_x, sigma_y)
     if geom.support == 2 and img.ndim == 3:
         if u8_inputs:
             img_u8 = img if jnp.issubdtype(img.dtype, jnp.integer) \
@@ -638,8 +653,17 @@ def amplified_linear_warp(img, alpha, geom: WarpGeometry, *,
     (``AmplifiedLinearWarp2dNumpy.warp``, resize_right2d_numpy.py:579-635).
 
     Support-2 [C,H,W] inputs take the row-packed single-gather path like
-    :func:`steering_gaussian_warp` (``u8_inputs`` semantics identical).
+    :func:`steering_gaussian_warp` (``u8_inputs`` semantics identical;
+    batched [B,C,H,W] inputs vmap it per frame).
     """
+    if geom.support == 2 and img.ndim == 4:
+        import jax
+
+        def one(i, a):
+            return amplified_linear_warp(i, a, geom, max_alpha=max_alpha,
+                                         pad_mode=pad_mode,
+                                         u8_inputs=u8_inputs)
+        return jax.vmap(one)(img, alpha)
     if geom.support == 2 and img.ndim == 3:
         n = geom.out_sz[0] * geom.out_sz[1]
         if u8_inputs:
@@ -1027,7 +1051,7 @@ def rings_for_bucket(rings: WarpRings, in_sz, in_bucket, n_bucket: int):
 
 def warp_serving_host_fused(in_sz, matrix, out_sz, *, border: int = 4,
                             linear: bool = False, dtype=np.float32,
-                            block_rows: int = 64):
+                            block_rows: int = 64, native: bool = True):
     """Fused single-pass host precompute for dynamic-warp serving:
     ``(WarpRings, validity mask)`` in one row-blocked sweep.
 
@@ -1073,6 +1097,30 @@ def warp_serving_host_fused(in_sz, matrix, out_sz, *, border: int = 4,
     def ring(in_n, p0):
         q = np.arange(in_n + 4, dtype=np.int64)
         return (np.clip(q - 1, 0, in_n - 1) - p0 + 1).astype(np.int32)
+
+    if native and dtype == np.float32:
+        from ..native import get_warp_lib
+        lib = get_warp_lib()
+        if lib is not None:
+            n = oh * ow
+            corner = np.empty(n, np.int32)
+            dis_x = np.empty((n, 2), np.float32)
+            dis_y = np.empty((n, 2), np.float32)
+            mask_u8 = np.empty(n, np.uint8)
+            mk = [np.empty((n, 2), np.float32)
+                  for _ in range(4)] if linear else [None] * 4
+            ptr = [m.ctypes.data if m is not None else None for m in mk]
+            lib.warp_operands_fused(
+                np.ascontiguousarray(inv), in_h, in_w, oh, ow,
+                pad0[0], pad0[1], pad0m[0], pad0m[1], border, int(linear),
+                corner, dis_x, dis_y, mask_u8,
+                ptr[0], ptr[1], ptr[2], ptr[3])
+            rings = WarpRings(
+                ring(in_h, pad0[0]), ring(in_w, pad0[1]), corner,
+                dis_x, dis_y,
+                (mk[0], mk[1]) if linear else None,
+                (mk[2], mk[3]) if linear else None)
+            return rings, mask_u8.astype(bool).reshape(oh, ow)
 
     corner = np.empty((oh, ow), np.int32)
     dis = [np.empty((oh, ow, 2), dtype) for _ in range(2)]

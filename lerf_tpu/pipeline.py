@@ -149,10 +149,16 @@ class NetPredictor:
     def __init__(self, params, stage1_fn, stage2_fn, *, linear: bool = False,
                  two_stage: bool = True, supp_size: int = 2,
                  max_sigma: float = 10.0, norm: int = 255,
-                 hyper_u8: bool = False, stage_pad: str = "replicate"):
+                 hyper_u8: bool = False, stage_pad: str = "replicate",
+                 stage1_masked_fn=None, stage2_masked_fn=None):
         self.params = params
         self.stage1_fn = stage1_fn
         self.stage2_fn = stage2_fn
+        # (params, x, h, w) variants that reproduce the unpadded program's
+        # zero-pad conv semantics on a bucket frame (per-conv traced-bound
+        # re-masking) — what makes the zero-pad (IMDN) form bucketable
+        self.stage1_masked_fn = stage1_masked_fn
+        self.stage2_masked_fn = stage2_masked_fn
         self.linear = linear
         self.two_stage = two_stage
         self.supp_size = supp_size
@@ -163,9 +169,9 @@ class NetPredictor:
         # hyper maps are continuous, so the IMDN form keeps float rows.
         self.hyper_u8 = hyper_u8
         # Edge semantics of the stage fns: "replicate" (SRNet pixel-MLPs,
-        # _pad_all_sides) supports bucketed serving via post-stage
-        # re-clamping; "zero" (IMDN SAME convs) would need in-stage masks,
-        # so upscale_bucketed falls back to the exact per-shape path.
+        # _pad_all_sides) buckets via post-stage re-clamping; "zero" (IMDN
+        # SAME convs) buckets via the masked stage fns above (falls back to
+        # the exact per-shape path only when those are absent).
         self.stage_pad = stage_pad
         self._resize_cache: Dict = {}
         self._warp_cache: Dict = {}
@@ -225,19 +231,26 @@ class NetPredictor:
         models/imdn_s2d.py).  "auto" = s2d on TPU (measured 4.7× on chip),
         stock elsewhere (imdn_s2d.resolve_backend).
         """
-        from .models.imdn_s2d import resolve_backend
+        from .models.imdn_s2d import predict_imdn2_s2d, resolve_backend
         backend = resolve_backend(backend)
+        nf, dtype = model.nf, model.dtype
         if backend == "s2d":
-            from .models.imdn_s2d import convert_imdn2, predict_imdn2_s2d
+            from .models.imdn_s2d import convert_imdn2
             variables = convert_imdn2(variables, s2d_block)
-            nf, dtype = model.nf, model.dtype
 
-            def apply_fn(p, x, stage):
+            def apply_fn(p, x, stage, valid_hw=None):
                 return predict_imdn2_s2d(p, x, stage, block=s2d_block,
-                                         nf=nf, norm=norm, dtype=dtype)
+                                         nf=nf, norm=norm, dtype=dtype,
+                                         valid_hw=valid_hw)
         elif backend == "base":
-            def apply_fn(p, x, stage):
-                return model.apply(p, x, stage)
+            def apply_fn(p, x, stage, valid_hw=None):
+                if valid_hw is None:
+                    return model.apply(p, x, stage)
+                # bucketed: the b=1 re-embedding is the stock computation
+                # with traced-bound per-conv re-masking (imdn_s2d doc)
+                return predict_imdn2_s2d({"params": p["params"]}, x, stage,
+                                         block=1, nf=nf, norm=norm,
+                                         dtype=dtype, valid_hw=valid_hw)
         else:
             raise ValueError(f"unknown IMDN backend {backend!r}")
 
@@ -245,15 +258,15 @@ class NetPredictor:
             nhwc = jnp.moveaxis(x, -3, -1)
             return (nhwc[None], True) if nhwc.ndim == 3 else (nhwc, False)
 
-        def s1(p, x):                      # x [..., C,H,W] → [..., C,H,W]
+        def s1(p, x, valid_hw=None):       # x [..., C,H,W] → [..., C,H,W]
             nhwc, single = to_nhwc(x)
-            out = apply_fn(p, nhwc, 1)
+            out = apply_fn(p, nhwc, 1, valid_hw)
             out = out[0] if single else out
             return jnp.moveaxis(out, -1, -3)
 
-        def s2(p, x):
+        def s2(p, x, valid_hw=None):
             nhwc, single = to_nhwc(x)
-            out = apply_fn(p, nhwc, 2)                # [B,H,W,3·C]
+            out = apply_fn(p, nhwc, 2, valid_hw)      # [B,H,W,3·C]
             out = out[0] if single else out
             c = x.shape[-3]
             # [..., H,W,oC,C] → [..., C,H,W,oC]
@@ -261,7 +274,17 @@ class NetPredictor:
             return jnp.moveaxis(out, -1, -4)
 
         return cls(variables, s1, s2, linear=linear, supp_size=supp_size,
-                   max_sigma=max_sigma, norm=norm, stage_pad="zero")
+                   max_sigma=max_sigma, norm=norm, stage_pad="zero",
+                   stage1_masked_fn=lambda p, x, h, w: s1(p, x, (h, w)),
+                   stage2_masked_fn=lambda p, x, h, w: s2(p, x, (h, w)))
+
+    @property
+    def _bucketable(self):
+        """Bucketed serving needs stage fns whose bucket-frame values match
+        the unpadded program's: replicate-pad stages via post-stage
+        re-clamping, zero-pad stages via traced-bound in-stage masking."""
+        return (self.stage_pad == "replicate"
+                or self.stage1_masked_fn is not None)
 
     def _stages(self, img_f, clamp_hw=None):
         """img [C,H,W] float in [0,1] → (feat [0,255], hyper [C,H,W,oC]).
@@ -269,7 +292,26 @@ class NetPredictor:
         ``clamp_hw=(h, w)``: bucketed serving — re-clamp each stage output
         beyond the valid region so the next stage (whose replicate padding
         reads the tensor edge) sees exactly the values of the unpadded
-        program (see LutPredictor._stages_fn)."""
+        program (see LutPredictor._stages_fn).  Zero-pad stage fns (IMDN
+        SAME convs) instead run their masked variants: per-conv re-masking
+        inside the tower reproduces the unpadded program's zero padding,
+        the feat is zeroed beyond (h, w) so stage 2's conv windows see
+        zeros, and the hyper re-clamps for the resample's edge-pad gather."""
+        if clamp_hw is not None and self.stage_pad == "zero" \
+                and self.stage1_masked_fn is not None:
+            h, w = clamp_hw
+            valid = ((jnp.arange(img_f.shape[-2]) < h)[:, None]
+                     & (jnp.arange(img_f.shape[-1]) < w)[None, :])
+            if self.two_stage:
+                feat = self.stage1_masked_fn(self.params, img_f, h, w)
+                feat = jnp.where(valid, feat, 0.0)
+                hyper_in = feat / float(self.norm)
+            else:
+                feat = jnp.where(valid, jnp.round(img_f * self.norm), 0.0)
+                hyper_in = jnp.where(valid, img_f, 0.0)
+            hyper = self.stage2_masked_fn(self.params, hyper_in, h, w)
+            hyper = _clamp_valid(hyper, -3, -2, clamp_hw)
+            return feat, hyper
         if self.two_stage:
             feat = self.stage1_fn(self.params, img_f)
             feat = _clamp_valid(feat, -2, -1, clamp_hw)
@@ -362,7 +404,7 @@ class NetPredictor:
         sh, sw = float(scale_h), float(scale_w)
         if sh == 1.0 and sw == 1.0:
             return self.upscale(img, sh, sw)
-        prep = None if self.stage_pad != "replicate" else \
+        prep = None if not self._bucketable else \
             _bucket_prep(img, sh, sw, granularity)
         if prep is None:
             return self.upscale(img, sh, sw)
@@ -423,7 +465,7 @@ class NetPredictor:
         img = np.asarray(img_hwc)
         if img.ndim == 2:
             img = np.stack([img] * 3, axis=-1)
-        if granularity > 0 and self.stage_pad != "replicate":
+        if granularity > 0 and not self._bucketable:
             granularity = 0
         prep = _dyn_resize_host(img, scale_h, scale_w, granularity,
                                 self.supp_size, self.linear)
@@ -563,7 +605,7 @@ class NetPredictor:
         out_hw = tuple(int(v) for v in out_hw)
         rings, mask = warp_serving_host_fused(in_sz, matrix, out_hw,
                                               border=4, linear=self.linear)
-        if granularity > 0 and self.stage_pad == "replicate":
+        if granularity > 0 and self._bucketable:
             g = int(granularity)
             hb, wb = -(-in_sz[0] // g) * g, -(-in_sz[1] // g) * g
             n = out_hw[0] * out_hw[1]
@@ -586,6 +628,59 @@ class NetPredictor:
         out = run(jnp.asarray(chw), rings)
         out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
         return out_u8, mask
+
+    def _warp_batch_fn(self, batch, in_sz, out_sz):
+        key = ("batch", batch, in_sz, out_sz)
+        if key not in self._warp_dyn_cache:
+
+            @jax.jit
+            def run(imgs_f, rings):
+                feat, hyper = self._stages(imgs_f)      # batch-polymorphic
+
+                def one(f1, h1, r1):
+                    if self.linear:
+                        return amplified_linear_warp_rings(
+                            f1, h1[..., 0], r1, out_sz=out_sz,
+                            u8_inputs=self.hyper_u8)
+                    return steering_gaussian_warp_rings(
+                        f1, h1[..., 0], h1[..., 1], h1[..., 2], r1,
+                        out_sz=out_sz, max_sigma=self.max_sigma,
+                        u8_inputs=self.hyper_u8)
+
+                out = jax.vmap(one)(feat, hyper, rings)
+                return _quantize_device(out, self.norm, nan_to_zero=True)
+
+            self._warp_dyn_cache[key] = run
+        return self._warp_dyn_cache[key]
+
+    def warp_batch(self, imgs_bhwc: np.ndarray, matrices: np.ndarray,
+                   out_hw: Tuple[int, int]):
+        """Batched warp serving for the net forms — per-frame homographies
+        through ONE device program (see :meth:`LutPredictor.warp_batch`;
+        identical construction on float stages)."""
+        imgs = np.asarray(imgs_bhwc)
+        matrices = np.asarray(matrices, dtype=np.float64)
+        if matrices.ndim == 2:
+            matrices = np.broadcast_to(matrices, (imgs.shape[0], 3, 3))
+        out_hw = tuple(int(v) for v in out_hw)
+        if self.supp_size != 2:
+            outs, masks = zip(*(self.warp(imgs[i], matrices[i], out_hw)
+                                for i in range(imgs.shape[0])))
+            return np.stack(outs), np.stack(masks)
+        in_sz = imgs.shape[1:3]
+        rings_list, masks = [], []
+        for i in range(imgs.shape[0]):
+            r, m = warp_serving_host_fused(in_sz, matrices[i], out_hw,
+                                           border=4, linear=self.linear)
+            rings_list.append(r)
+            masks.append(m)
+        rings = jax.tree.map(lambda *xs: np.stack(xs), *rings_list)
+        bchw = np.ascontiguousarray(imgs.transpose(0, 3, 1, 2)) \
+            .astype(np.float32) / self.norm
+        run = self._warp_batch_fn(imgs.shape[0], in_sz, out_hw)
+        out = run(jnp.asarray(bchw), rings)
+        return (_quantize_host(out, self.norm).transpose(0, 2, 3, 1),
+                np.stack(masks))
 
 
 class LutPredictor:
@@ -1104,3 +1199,62 @@ class LutPredictor:
         if return_aux:
             return out_u8, mask, np.asarray(feat), np.asarray(hyper)
         return out_u8, mask
+
+    def _warp_batch_fn(self, batch, in_sz, out_sz):
+        key = ("batch", batch, in_sz, out_sz)
+        if key not in self._warp_dyn_cache:
+
+            @jax.jit
+            def run(imgs_i32, rings):
+                feat, hyper = self._stages_fn(imgs_i32)   # batch-polymorphic
+
+                def one(f1, h1, r1):
+                    if self.linear:
+                        return amplified_linear_warp_rings(
+                            f1, h1[..., 0], r1, out_sz=out_sz,
+                            u8_inputs=True)
+                    return steering_gaussian_warp_rings(
+                        f1, h1[..., 0], h1[..., 1], h1[..., 2], r1,
+                        out_sz=out_sz, max_sigma=self.max_sigma,
+                        u8_inputs=True)
+
+                out = jax.vmap(one)(feat, hyper, rings)
+                return _quantize_device(out, self.norm, nan_to_zero=True)
+
+            self._warp_dyn_cache[key] = run
+        return self._warp_dyn_cache[key]
+
+    def warp_batch(self, imgs_bhwc: np.ndarray, matrices: np.ndarray,
+                   out_hw: Tuple[int, int]):
+        """Batched warp serving: uint8 [B,H,W,C] + per-frame homographies
+        [B,3,3] (or one shared [3,3]) → (uint8 [B,oH,oW,C], bool mask
+        [B,oH,oW]) — ONE device program for the whole batch, any matrices.
+
+        The stage ensembles run batch-polymorphic and the row-packed rings
+        warp is vmapped over per-frame operand stacks; bit-identical per
+        frame to :meth:`warp` (tests/test_batch_serving.py).  Match: the
+        reference's batched warp semantics (resize_right2d_torch.py:346-370)
+        generalized to per-frame matrices."""
+        imgs = np.asarray(imgs_bhwc)
+        matrices = np.asarray(matrices, dtype=np.float64)
+        if matrices.ndim == 2:
+            matrices = np.broadcast_to(matrices, (imgs.shape[0], 3, 3))
+        out_hw = tuple(int(v) for v in out_hw)
+        if self.supp_size != 2 or self.norm != 255:
+            outs, masks = zip(*(self.warp(imgs[i], matrices[i], out_hw)
+                                for i in range(imgs.shape[0])))
+            return np.stack(outs), np.stack(masks)
+        in_sz = imgs.shape[1:3]
+        rings_list, masks = [], []
+        for i in range(imgs.shape[0]):
+            r, m = warp_serving_host_fused(in_sz, matrices[i], out_hw,
+                                           border=4, linear=self.linear)
+            rings_list.append(r)
+            masks.append(m)
+        rings = jax.tree.map(lambda *xs: np.stack(xs), *rings_list)
+        bchw = np.ascontiguousarray(imgs.transpose(0, 3, 1, 2)) \
+            .astype(np.int32)
+        run = self._warp_batch_fn(imgs.shape[0], in_sz, out_hw)
+        out = run(jnp.asarray(bchw), rings)
+        return (_quantize_host(out, self.norm).transpose(0, 2, 3, 1),
+                np.stack(masks))

@@ -83,6 +83,84 @@ def test_imdn_batch_matches_single():
         np.testing.assert_array_equal(batch[b], pred.upscale(imgs[b], 2, 2))
 
 
+WARP_MATS = [
+    np.array([[1.1, 0.02, 3.0], [0.01, 0.95, -2.0], [1e-4, 2e-5, 1.0]]),
+    np.array([[0.7, -0.1, 10.0], [0.2, 1.3, -5.0], [5e-4, -2e-4, 1.0]]),
+    np.diag([2.0, 2.0, 1.0]),
+]
+
+
+def test_warp_batch_matches_single():
+    """Batched warp with DISTINCT per-frame homographies through one
+    program must equal per-image warp bit-for-bit (output AND mask)."""
+    bank = random_bank(seed=11)
+    pred = LutPredictor(bank)
+    rng = np.random.RandomState(12)
+    imgs = rng.randint(0, 256, (3, 14, 17, 3), dtype=np.uint8)
+    out_hw = (20, 18)
+    outs, masks = pred.warp_batch(imgs, np.stack(WARP_MATS), out_hw)
+    assert outs.shape == (3, 20, 18, 3) and masks.shape == (3, 20, 18)
+    for b in range(3):
+        w_out, w_mask = pred.warp(imgs[b], WARP_MATS[b], out_hw)
+        np.testing.assert_array_equal(outs[b], w_out)
+        np.testing.assert_array_equal(masks[b], w_mask)
+    assert len([k for k in pred._warp_dyn_cache if k[0] == "batch"]) == 1
+
+
+def test_warp_batch_shared_matrix_broadcast():
+    bank = random_bank(seed=13)
+    pred = LutPredictor(bank)
+    rng = np.random.RandomState(14)
+    imgs = rng.randint(0, 256, (2, 12, 13, 3), dtype=np.uint8)
+    outs, masks = pred.warp_batch(imgs, WARP_MATS[0], (15, 16))
+    for b in range(2):
+        w_out, w_mask = pred.warp(imgs[b], WARP_MATS[0], (15, 16))
+        np.testing.assert_array_equal(outs[b], w_out)
+        np.testing.assert_array_equal(masks[b], w_mask)
+
+
+def test_net_warp_batch_matches_single():
+    from lerf_tpu.models import srnet
+    from lerf_tpu.pipeline import NetPredictor
+
+    params = srnet.init_lerf_nets(jax.random.PRNGKey(15), nf=8, out_c=3)
+    pred = NetPredictor.from_srnets(params)
+    rng = np.random.RandomState(16)
+    imgs = rng.randint(0, 256, (2, 12, 14, 3), dtype=np.uint8)
+    out_hw = (16, 15)
+    outs, masks = pred.warp_batch(imgs, np.stack(WARP_MATS[:2]), out_hw)
+    for b in range(2):
+        w_out, w_mask = pred.warp(imgs[b], WARP_MATS[b], out_hw)
+        np.testing.assert_array_equal(outs[b], w_out)
+        np.testing.assert_array_equal(masks[b], w_mask)
+
+
+def test_static_batched_warp_uses_rowpack():
+    """A [B,C,H,W] input through the static geometry op must match the
+    per-frame row-packed path bit-for-bit (regression: it silently fell to
+    the element-gather path, resize_right2d_torch.py:346-370 batch parity)."""
+    import jax.numpy as jnp
+
+    from lerf_tpu.ops import WarpGeometry, steering_gaussian_warp
+
+    rng = np.random.RandomState(17)
+    in_sz, out_sz = (11, 13), (14, 12)
+    geom = WarpGeometry.create(in_sz, WARP_MATS[0], out_sz, support=2)
+    img = rng.randint(0, 256, (2, 3, *in_sz)).astype(np.int32)
+    hyp = [rng.randint(0, 256, (2, 3, *in_sz)).astype(np.int32)
+           for _ in range(3)]
+    batched = steering_gaussian_warp(jnp.asarray(img),
+                                     *map(jnp.asarray, hyp), geom,
+                                     u8_inputs=True)
+    for b in range(2):
+        one = steering_gaussian_warp(jnp.asarray(img[b]),
+                                     *(jnp.asarray(h[b]) for h in hyp),
+                                     geom, u8_inputs=True)
+        a, bb = np.asarray(batched[b]), np.asarray(one)
+        eq = (a == bb) | (np.isnan(a) & np.isnan(bb))
+        assert eq.all()
+
+
 def test_batch_scale1_passthrough():
     """scale==1 must take the same skip path as upscale
     (eval_model.py:153-154), not the lossy resample pipeline."""

@@ -64,19 +64,39 @@ def test_net_bucketed_matches_exact():
     assert len(pred._bucket_cache) == 1
 
 
-def test_net_bucketed_imdn_falls_back():
-    """The IMDN form's zero-pad convs can't use the clamp trick; bucketed
-    must silently serve through the exact per-shape path."""
+def test_net_bucketed_imdn_no_fallback():
+    """The IMDN form's zero-pad convs bucket via traced-bound in-stage
+    re-masking (imdn_s2d valid_hw) — bit-equal to the per-shape path
+    WITHOUT falling back, across shapes sharing one bucket program."""
     from lerf_tpu.models.imdn import IMDN2
     import jax.numpy as jnp
     model = IMDN2(in_c=3, out_c=3, nf=12)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), 0)
     pred = NetPredictor.from_imdn(model, variables, out_c=3)
-    img = np.random.RandomState(5).randint(0, 256, (11, 13, 3),
+    rng = np.random.RandomState(5)
+    for h, w in [(11, 13), (16, 9)]:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            pred.upscale_bucketed(img, 2, 2, 16), pred.upscale(img, 2, 2))
+    assert len(pred._bucket_cache) == 1
+    assert len(pred._resize_cache) == 2      # only the reference calls
+
+
+def test_net_dynamic_imdn_bucketed():
+    """IMDN through the fully recompile-free dynamic path (fractional
+    scale, bucketed) — the masked stages compose with traced-geometry
+    resize."""
+    from lerf_tpu.models.imdn import IMDN2
+    import jax.numpy as jnp
+    model = IMDN2(in_c=3, out_c=3, nf=12)
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, 3)), 0)
+    pred = NetPredictor.from_imdn(model, variables, out_c=3)
+    img = np.random.RandomState(6).randint(0, 256, (11, 13, 3),
                                            dtype=np.uint8)
-    np.testing.assert_array_equal(pred.upscale_bucketed(img, 2, 2, 16),
-                                  pred.upscale(img, 2, 2))
-    assert len(pred._bucket_cache) == 0
+    want = pred.upscale(img, 2.3, 2.3)
+    got = pred.upscale_dynamic(img, 2.3, 2.3, granularity=16)
+    np.testing.assert_array_equal(want, got)
+    assert any(k[0] == "bucket" for k in pred._resize_dyn_cache)
 
 
 def test_bucketed_multistage_bit_exact():

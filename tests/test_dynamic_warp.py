@@ -118,6 +118,35 @@ def test_fused_host_precompute_bit_equal():
                 nearest_warp_mask_host(IN_SZ, m, OUT_SZ, border=4), got_mask)
 
 
+def test_native_matches_numpy():
+    """The C single-pass precompute must be bit-identical to the numpy
+    fused path (which is bit-identical to the separate-pass path) — every
+    rings leaf, linear branch masks, and the validity mask.  Skipped when
+    no host toolchain exists (the numpy path is then the production one)."""
+    import pytest
+
+    from lerf_tpu.native import get_warp_lib
+    from lerf_tpu.ops.resample import warp_serving_host_fused
+
+    if get_warp_lib() is None:
+        pytest.skip("no C toolchain; numpy fused path is production")
+    for m in _matrices():
+        for linear in (False, True):
+            want, want_mask = warp_serving_host_fused(
+                IN_SZ, m, OUT_SZ, linear=linear, native=False)
+            got, got_mask = warp_serving_host_fused(
+                IN_SZ, m, OUT_SZ, linear=linear, native=True)
+            np.testing.assert_array_equal(want_mask, got_mask)
+            for a, b in zip(want, got):
+                if a is None:
+                    assert b is None
+                elif isinstance(a, tuple):
+                    for x, y in zip(a, b):
+                        np.testing.assert_array_equal(x, y)
+                else:
+                    np.testing.assert_array_equal(a, b)
+
+
 def test_rings_for_bucket_matches_operands_bucket():
     """rings_for_bucket (rings-level bucketing) must equal bucketing at the
     operands level then building rings — including the linear masks' pad
@@ -237,6 +266,26 @@ def test_net_warp_bucketed_matches_exact():
     np.testing.assert_array_equal(want_mask, got_mask)
     diff = np.abs(want_out.astype(np.int32) - got_out.astype(np.int32))
     assert diff.max() <= 1 and (diff != 0).mean() < 1e-2
+
+
+def test_imdn_warp_bucketed_matches_exact():
+    """IMDN (zero-pad stages) through the fully recompile-free bucketed
+    warp — enabled by the traced-bound in-stage re-masking."""
+    import jax.numpy as jnp
+
+    from lerf_tpu.models.imdn import IMDN2
+
+    model = IMDN2(in_c=3, out_c=3, nf=8)
+    variables = model.init(jax.random.PRNGKey(4), jnp.zeros((1, 8, 8, 3)), 0)
+    pred = NetPredictor.from_imdn(model, variables, out_c=3)
+    rng = np.random.RandomState(14)
+    img = rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
+    m = _matrices()[0]
+    want_out, want_mask = pred.warp(img, m, OUT_SZ)
+    got_out, got_mask = pred.warp_dynamic(img, m, OUT_SZ, granularity=16)
+    np.testing.assert_array_equal(want_mask, got_mask)
+    np.testing.assert_array_equal(want_out, got_out)
+    assert any(k[0] == "bucket" for k in pred._warp_dyn_cache)
 
 
 def test_lut_warp_dynamic_on_shipped_homographies():
