@@ -12,7 +12,7 @@ from __future__ import annotations
 import sys
 
 from ..config import TestConfig, parse_config
-from ..evaluate import format_sr_table, run_sr_benchmark
+from ..evaluate import format_sr_header, format_sr_row, run_sr_benchmark
 from ..pipeline import LutPredictor
 
 DEFAULT_DATASETS = ["Set5"]
@@ -34,14 +34,14 @@ def main(argv=None, datasets=None, scales=None):
 
     exp_name = cfg.exp_dir.rstrip("/").split("/")[-1]
     all_results = {}
+    print(format_sr_header(scales), flush=True)   # rows flush per dataset
     for ds in datasets:
         all_results[ds] = run_sr_benchmark(
             pred, cfg.test_dir, ds, [tuple(s) for s in scales],
             result_root=cfg.result_root, exp_name=exp_name,
             lut_name=cfg.lut_name, post=post, nsigma=cfg.nsigma,
             bucket=cfg.bucket, dynamic=cfg.dynamic_sr)
-    table = format_sr_table(all_results, scales)
-    print(table)
+        print(format_sr_row(ds, all_results[ds], scales), flush=True)
     return all_results
 
 

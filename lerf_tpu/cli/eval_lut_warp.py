@@ -13,7 +13,8 @@ from __future__ import annotations
 import sys
 
 from ..config import TestConfig, parse_config
-from ..evaluate import format_warp_table, run_warp_benchmark
+from ..evaluate import (format_warp_header, format_warp_row,
+                        run_warp_benchmark)
 from ..pipeline import LutPredictor
 
 DEFAULT_DATASETS = ["Set5"]
@@ -29,6 +30,7 @@ def main(argv=None, datasets=None, scale_ps=None):
 
     exp_name = cfg.exp_dir.rstrip("/").split("/")[-1]
     all_results = {}
+    print(format_warp_header(tuple(scale_ps)), flush=True)
     for ds in datasets:
         all_results[ds] = run_warp_benchmark(
             pred, cfg.test_dir, ds, tuple(scale_ps),
@@ -36,7 +38,8 @@ def main(argv=None, datasets=None, scale_ps=None):
             exp_name=exp_name,
             pre_upsample="PreUpsample" in cfg.test_dir,
             dynamic=cfg.dynamic_warp, bucket=cfg.bucket)
-    print(format_warp_table(all_results, tuple(scale_ps)))
+        print(format_warp_row(ds, all_results[ds], tuple(scale_ps)),
+              flush=True)
     return all_results
 
 

@@ -14,8 +14,9 @@ import os
 import sys
 
 from ..config import TestConfig, parse_config
-from ..evaluate import format_sr_table, format_warp_table, \
-    run_sr_benchmark, run_warp_benchmark
+from ..evaluate import (format_sr_header, format_sr_row, format_warp_header,
+                        format_warp_row, run_sr_benchmark,
+                        run_warp_benchmark)
 from ..pipeline import NetPredictor
 
 DEFAULT_DATASETS = ["Set5"]
@@ -30,15 +31,26 @@ def build_predictor(cfg: TestConfig) -> NetPredictor:
         from ..models.imdn import IMDN2
         model = IMDN2(in_c=cfg.in_c, out_c=cfg.out_c, nf=cfg.nf,
                       norm=cfg.norm)
+        variables = None
+        if os.path.isdir(os.path.join(cfg.exp_dir, "ckpt")):
+            # our own orbax checkpoints (cli.train --model IMDN2)
+            from ..train.checkpoint import CheckpointManager
+            mgr = CheckpointManager(cfg.exp_dir)
+            state = mgr.restore(cfg.load_iter)
+            mgr.close()
+            if state is not None:
+                variables = (state["params"] if isinstance(state, dict)
+                             else state.params)
         ckpt = os.path.join(cfg.exp_dir, f"Model_{cfg.load_iter:06d}.pth")
-        if os.path.exists(ckpt):
+        if variables is None and os.path.exists(ckpt):
             from ..models.convert import imdn_from_torch_checkpoint
             variables = imdn_from_torch_checkpoint(ckpt, model)
-        else:
+        elif variables is None:
             variables = model.init(jax.random.PRNGKey(0),
                                    jnp.zeros((1, 16, 16, cfg.in_c)), 1)
         return NetPredictor.from_imdn(model, variables, out_c=cfg.out_c,
                                       linear=cfg.linear,
+                                      two_stage=cfg.two_stage,
                                       supp_size=cfg.supp_size,
                                       max_sigma=cfg.max_sigma, norm=cfg.norm)
     # SRNetsSWF2 pixel-MLP form from our checkpoints / reference pickles
@@ -59,23 +71,27 @@ def main(argv=None, datasets=None):
 
     if "warp" in cfg.result_root:
         pre_up = "PreUpsample" in cfg.test_dir
-        results = {ds: run_warp_benchmark(
-            pred, cfg.test_dir, ds, ("isc", "osc"),
-            hr_root=cfg.hr_root or None, result_root=cfg.result_root,
-            exp_name=exp_name, pre_upsample=pre_up,
-            dynamic=cfg.dynamic_warp, bucket=cfg.bucket)
-            for ds in datasets}
-        print(format_warp_table(results))
+        results = {}
+        print(format_warp_header(), flush=True)
+        for ds in datasets:
+            results[ds] = run_warp_benchmark(
+                pred, cfg.test_dir, ds, ("isc", "osc"),
+                hr_root=cfg.hr_root or None, result_root=cfg.result_root,
+                exp_name=exp_name, pre_upsample=pre_up,
+                dynamic=cfg.dynamic_warp, bucket=cfg.bucket)
+            print(format_warp_row(ds, results[ds]), flush=True)
         return results
 
     post = 2 if "PreUpsample" in cfg.test_dir else 1
     scales = cfg.scale_list() or [tuple(s) for s in DEFAULT_SCALES]
-    results = {ds: run_sr_benchmark(
-        pred, cfg.test_dir, ds, scales, result_root=cfg.result_root,
-        exp_name=exp_name, post=post, nsigma=cfg.nsigma, bucket=cfg.bucket,
-        dynamic=cfg.dynamic_sr)
-        for ds in datasets}
-    print(format_sr_table(results, scales))
+    results = {}
+    print(format_sr_header(scales), flush=True)
+    for ds in datasets:
+        results[ds] = run_sr_benchmark(
+            pred, cfg.test_dir, ds, scales, result_root=cfg.result_root,
+            exp_name=exp_name, post=post, nsigma=cfg.nsigma,
+            bucket=cfg.bucket, dynamic=cfg.dynamic_sr)
+        print(format_sr_row(ds, results[ds], scales), flush=True)
     return results
 
 

@@ -125,32 +125,49 @@ def run_warp_benchmark(predictor, root: str, dataset: str,
     return results
 
 
-def format_sr_table(dataset_results: Dict[str, Dict], scales) -> str:
-    """Reference-format report table (eval_lut_sr.py:793-811)."""
-    lines = []
+def format_sr_header(scales) -> str:
     head = ["Scale".ljust(15, " ")]
     for (sh, sw) in scales:
         head.append(f"{sh:.1f}x{sw:.1f}\t")
-    lines.append("\t".join(head))
+    return "\t".join(head)
+
+
+def format_sr_row(ds: str, res: Dict, scales) -> str:
+    row = [ds.ljust(15, " ")]
+    for s in scales:
+        p, s_ = res[tuple(s)]
+        row.append(f"{p:.2f}/{s_:.4f}")
+    return "\t".join(row)
+
+
+def format_sr_table(dataset_results: Dict[str, Dict], scales) -> str:
+    """Reference-format report table (eval_lut_sr.py:793-811).  Long runs
+    should print header + per-dataset rows incrementally instead
+    (format_sr_header / format_sr_row) so `tail -f` shows progress."""
+    lines = [format_sr_header(scales)]
     for ds, res in dataset_results.items():
-        row = [ds.ljust(15, " ")]
-        for s in scales:
-            p, s_ = res[tuple(s)]
-            row.append(f"{p:.2f}/{s_:.4f}")
-        lines.append("\t".join(row))
+        lines.append(format_sr_row(ds, res, scales))
     return "\n".join(lines)
+
+
+def format_warp_header(scale_ps=("isc", "osc")) -> str:
+    head = ["Scale".ljust(15, " ")]
+    for p in scale_ps:
+        head.append(f"{p}\t")
+    return "\t".join(head)
+
+
+def format_warp_row(ds: str, res: Dict[str, float],
+                    scale_ps=("isc", "osc")) -> str:
+    row = [ds.ljust(15, " ")]
+    for p in scale_ps:
+        row.append(f"{res[p]:.2f}")
+    return "\t".join(row)
 
 
 def format_warp_table(dataset_results: Dict[str, Dict[str, float]],
                       scale_ps=("isc", "osc")) -> str:
-    lines = []
-    head = ["Scale".ljust(15, " ")]
-    for p in scale_ps:
-        head.append(f"{p}\t")
-    lines.append("\t".join(head))
+    lines = [format_warp_header(scale_ps)]
     for ds, res in dataset_results.items():
-        row = [ds.ljust(15, " ")]
-        for p in scale_ps:
-            row.append(f"{res[p]:.2f}")
-        lines.append("\t".join(row))
+        lines.append(format_warp_row(ds, res, scale_ps))
     return "\n".join(lines)

@@ -11,11 +11,13 @@ from .mesh import (
 )
 from .spatial import (
     lut_stages_sharded,
+    sharded_dynamic_sr_pipeline,
     sharded_dynamic_warp_pipeline,
     sharded_lut_sr_pipeline,
     sharded_lut_warp_pipeline,
     sharded_net_sr_pipeline,
     srnet_stages_sharded,
+    steering_gaussian_resize_rings_sharded,
     steering_gaussian_resize_sharded,
     steering_gaussian_warp_rings_sharded,
     steering_gaussian_warp_sharded,
@@ -29,4 +31,6 @@ __all__ = ["DATA_AXIS", "make_mesh", "batch_sharding", "replicated",
            "sharded_lut_warp_pipeline",
            "steering_gaussian_warp_rings_sharded",
            "sharded_dynamic_warp_pipeline",
+           "steering_gaussian_resize_rings_sharded",
+           "sharded_dynamic_sr_pipeline",
            "srnet_stages_sharded", "sharded_net_sr_pipeline"]

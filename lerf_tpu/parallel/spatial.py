@@ -50,6 +50,20 @@ def _resize_local(xpad, rhop, sxp, syp, fov_x, dis_x, fov_y, dis_y,
     return wn / ws
 
 
+def _replicate_once(mesh, *planes):
+    """Move the row-sharded stage outputs to every chip with ONE input-sized
+    all-gather: stack the planes, constrain the stack replicated, slice
+    locally.  Passed separately, XLA inserts one all-gather per plane —
+    4× the collective launches for the same bytes (the structure the
+    all-gather-count pins in tests/test_spatial.py and __graft_entry__
+    guard).  All planes are cast to float32 (every consumer decodes unit
+    floats / rounds exactly back to u8 codes — ops.resample._encode_u8)."""
+    stacked = jnp.stack([jnp.asarray(p, jnp.float32) for p in planes])
+    stacked = jax.lax.with_sharding_constraint(
+        stacked, NamedSharding(mesh, P()))
+    return tuple(stacked[i] for i in range(len(planes)))
+
+
 def _pad_rows(arr, axis: int, n: int):
     """Edge-pad ``axis`` up to a multiple of n (duplicated geometry rows —
     the extra output rows are computed redundantly and cropped after)."""
@@ -275,9 +289,9 @@ def sharded_lut_sr_pipeline(img, tables1, tables2, modes,
                                      modes2=modes2, axis=axis,
                                      interval=interval, norm=norm)
     rho, sx, sy = split_gaussian_hyper(hyper, norm)
+    feat, rho, sx, sy = _replicate_once(mesh, feat, rho, sx, sy)
     return steering_gaussian_resize_sharded(
-        feat.astype(jnp.float32), rho, sx, sy, geom, mesh,
-        max_sigma=max_sigma, axis=axis)
+        feat, rho, sx, sy, geom, mesh, max_sigma=max_sigma, axis=axis)
 
 
 def sharded_lut_warp_pipeline(img, tables1, tables2, modes,
@@ -295,9 +309,9 @@ def sharded_lut_warp_pipeline(img, tables1, tables2, modes,
                                      modes2=modes2, axis=axis,
                                      interval=interval, norm=norm)
     rho, sx, sy = split_gaussian_hyper(hyper, norm)
+    feat, rho, sx, sy = _replicate_once(mesh, feat, rho, sx, sy)
     return steering_gaussian_warp_sharded(
-        feat.astype(jnp.float32), rho, sx, sy, geom, mesh,
-        max_sigma=max_sigma, axis=axis)
+        feat, rho, sx, sy, geom, mesh, max_sigma=max_sigma, axis=axis)
 
 
 # ---------------------------------------------------------------------------
@@ -362,12 +376,84 @@ def sharded_dynamic_warp_pipeline(img, tables1, tables2, modes,
     independent of the homography; jit once, serve every matrix
     (the distributed analog of ``LutPredictor.warp_dynamic``).  Returns
     flat [C, N]; u8 row-pack deploy config (norm 255)."""
+    from ..ops.lut_pipeline import split_gaussian_hyper
+
     feat, hyper = lut_stages_sharded(img, tables1, tables2, modes, mesh,
                                      modes2=modes2, axis=axis,
                                      interval=interval, norm=norm)
+    # one all-gather for all four planes; unit floats round-trip the u8
+    # codes bit-exactly (ops.resample._encode_u8)
+    rho, sx, sy = split_gaussian_hyper(hyper, norm)
+    feat, rho, sx, sy = _replicate_once(mesh, feat, rho, sx, sy)
     return steering_gaussian_warp_rings_sharded(
-        feat, hyper[..., 0], hyper[..., 1], hyper[..., 2], rings, mesh,
+        feat, rho, sx, sy, rings, mesh,
         max_sigma=max_sigma, u8_inputs=norm == 255, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# dynamic-scale (rings) resize, output-row-sharded
+# ---------------------------------------------------------------------------
+
+
+def steering_gaussian_resize_rings_sharded(img, rho, sigma_x, sigma_y,
+                                           rings, mesh, *,
+                                           max_sigma: float = 10.0,
+                                           axis: str = DATA_AXIS,
+                                           pad_mode: str = "constant"):
+    """Multi-chip DYNAMIC-scale resize: the scale enters as traced data
+    (``ops.resample.ResizeRings``), so one compiled sharded program serves
+    every ``(scale_h, scale_w)`` — the distributed form of
+    ``upscale_dynamic``.
+
+    Structure: the (input-sized) source and hyper maps are replicated; the
+    per-output-ROW index/distance operands are sharded on the output axis
+    (resize is separable, so only the row axis needs sharding — the column
+    operands are tiny and replicated).  Each chip gathers and accumulates
+    only its slab of output rows.  Non-divisible outH pads with duplicated
+    rows and crops after.  Bit-identical per row to the single-device op
+    eagerly; under jit XLA fusion may shift float32 results at the ~1e-6
+    relative level like the other sharded forms (tests/test_spatial.py)."""
+    from ..ops.resample import ResizeRings, steering_gaussian_resize_rings
+
+    n_dev = mesh.devices.size
+    idx_x, oh = _pad_rows(rings.idx_x, 0, n_dev)
+    dis_x, _ = _pad_rows(rings.dis_x, 0, n_dev)
+
+    def local(im, r, sx_, sy_, ix_l, dx_l, iy, dy):
+        lr = ResizeRings(ix_l, iy, dx_l, dy)
+        return steering_gaussian_resize_rings(im, r, sx_, sy_, lr,
+                                              max_sigma=max_sigma,
+                                              pad_mode=pad_mode)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis), P(axis, None), P(), P()),
+        out_specs=P(None, axis, None))
+    out = fn(img, rho, sigma_x, sigma_y, jnp.asarray(idx_x),
+             jnp.asarray(dis_x), jnp.asarray(rings.idx_y),
+             jnp.asarray(rings.dis_y))
+    return out[..., :oh, :]
+
+
+def sharded_dynamic_sr_pipeline(img, tables1, tables2, modes,
+                                rings, mesh, *, modes2=None,
+                                max_sigma: float = 10.0,
+                                norm: int = 255, interval: int = 4,
+                                axis: str = DATA_AXIS):
+    """Multi-chip dynamic-scale LUT SR: row-sharded stage ensembles →
+    output-row-sharded rings resize.  Program identity is
+    (in_sz, out_sz, mesh) — independent of the scale; jit once, serve any
+    ``(scale_h, scale_w)`` (the distributed analog of
+    ``LutPredictor.upscale_dynamic``)."""
+    from ..ops.lut_pipeline import split_gaussian_hyper
+
+    feat, hyper = lut_stages_sharded(img, tables1, tables2, modes, mesh,
+                                     modes2=modes2, axis=axis,
+                                     interval=interval, norm=norm)
+    rho, sx, sy = split_gaussian_hyper(hyper, norm)
+    feat, rho, sx, sy = _replicate_once(mesh, feat, rho, sx, sy)
+    return steering_gaussian_resize_rings_sharded(
+        feat, rho, sx, sy, rings, mesh, max_sigma=max_sigma, axis=axis)
 
 
 # ---------------------------------------------------------------------------
@@ -419,7 +505,7 @@ def sharded_net_sr_pipeline(img, params, geom: ResizeGeometry, mesh, *,
     feat, hyper = srnet_stages_sharded(img, params, mesh, modes=modes,
                                        modes2=modes2, norm=norm,
                                        backend=backend, axis=axis)
+    feat, rho, sx, sy = _replicate_once(mesh, feat, hyper[..., 0],
+                                        hyper[..., 1], hyper[..., 2])
     return steering_gaussian_resize_sharded(
-        feat.astype(jnp.float32), hyper[..., 0].astype(jnp.float32),
-        hyper[..., 1].astype(jnp.float32), hyper[..., 2].astype(jnp.float32),
-        geom, mesh, max_sigma=max_sigma, axis=axis)
+        feat, rho, sx, sy, geom, mesh, max_sigma=max_sigma, axis=axis)

@@ -215,10 +215,16 @@ class NetPredictor:
 
     @classmethod
     def from_imdn(cls, model, variables, *, out_c: int = 3,
-                  linear: bool = False, supp_size: int = 2,
+                  linear: bool = False, two_stage: bool = True,
+                  supp_size: int = 2,
                   max_sigma: float = 10.0, norm: int = 255,
                   backend: str = "auto", s2d_block: int = 2):
         """LeRF-Net / LeRF-Net++ (IMDN2 flax module, inC=3).
+
+        ``two_stage=False`` skips the feature tower at eval exactly like
+        the reference (eval_model.py:124-129: feat = round(img·norm), the
+        hyper net sees the raw image) — it must match how the checkpoint
+        was trained, or the resample reads an untrained stage-1 tower.
 
         Hyper layout parity: stage2 emits 3·featC channels ordered
         [ρ·featC, σx·featC, σy·featC] (eval_model.py:149) → reshaped to the
@@ -273,7 +279,8 @@ class NetPredictor:
             out = out.reshape(out.shape[:-1] + (out_c, c))
             return jnp.moveaxis(out, -1, -4)
 
-        return cls(variables, s1, s2, linear=linear, supp_size=supp_size,
+        return cls(variables, s1, s2, linear=linear, two_stage=two_stage,
+                   supp_size=supp_size,
                    max_sigma=max_sigma, norm=norm, stage_pad="zero",
                    stage1_masked_fn=lambda p, x, h, w: s1(p, x, (h, w)),
                    stage2_masked_fn=lambda p, x, h, w: s2(p, x, (h, w)))

@@ -144,6 +144,7 @@ def imdn_adapter(cfg: TrainConfig, hp: TrainHParams) -> ModelAdapter:
     def predictor(params):
         return NetPredictor.from_imdn(model, params, out_c=cfg.out_c,
                                       linear=hp.linear,
+                                      two_stage=hp.two_stage,
                                       supp_size=hp.supp_size,
                                       max_sigma=hp.max_sigma, norm=hp.norm)
 

@@ -45,6 +45,33 @@ def test_net_predictor_upscale_and_warp():
     assert warped.shape == (28, 36, 3) and mask.shape == (28, 36)
 
 
+def test_from_imdn_single_stage_branch():
+    """``two_stage=False`` must skip the feature tower exactly like the
+    reference (eval_model.py:124-129: feat = round(img·norm), the hyper net
+    sees the raw image).  Regression pin: an IMDN2 checkpoint trained
+    without --twoStage used to be evaluated THROUGH the untrained stage-1
+    tower (garbage PSNR); now the eval honors the flag, so mangling the
+    stage-1 params must not change the single-stage output — and the
+    two-stage predictor must differ from the single-stage one."""
+    model, variables = make_model()
+    img = np.random.RandomState(2).randint(0, 256, (10, 12, 3),
+                                           dtype=np.uint8)
+
+    pred = NetPredictor.from_imdn(model, variables, out_c=3,
+                                  two_stage=False)
+    out = pred.upscale(img, 2, 2)
+
+    mangled = jax.tree.map(lambda x: x + 1.0, variables["params"]["stage1"])
+    v2 = {"params": {"stage1": mangled,
+                     "stage2": variables["params"]["stage2"]}}
+    pred2 = NetPredictor.from_imdn(model, v2, out_c=3, two_stage=False)
+    np.testing.assert_array_equal(pred2.upscale(img, 2, 2), out)
+
+    pred_ts = NetPredictor.from_imdn(model, variables, out_c=3,
+                                     two_stage=True)
+    assert np.any(pred_ts.upscale(img, 2, 2) != out)
+
+
 def test_imdn_train_step_runs():
     from lerf_tpu.config import TrainConfig
     from lerf_tpu.train.loop import hparams_from_config, imdn_adapter

@@ -107,6 +107,65 @@ def test_sharded_lut_stages_bit_exact():
         np.testing.assert_array_equal(want, got)
 
 
+def test_sharded_dynamic_resize_matches_unsharded():
+    """Output-row-sharded rings resize: one sharded program, scales as
+    traced data — matches the single-device rings op across scales
+    (including non-divisible outH and a non-periodic scale)."""
+    from lerf_tpu.ops import (ResizeOperands, resize_rings,
+                              steering_gaussian_resize_rings)
+    from lerf_tpu.parallel import (make_mesh,
+                                   steering_gaussian_resize_rings_sharded)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(5)
+    c, h, w = 3, 14, 18
+    img = jnp.asarray(rng.rand(c, h, w).astype(np.float32) * 255)
+    hyper = rng.rand(3, c, h, w).astype(np.float32)
+    rho, sx, sy = (jnp.asarray(x) for x in hyper)
+
+    fn = jax.jit(lambda *a: steering_gaussian_resize_rings_sharded(
+        *a, mesh))
+    for scale in [(2.0, 2.0), (1.93, 2.0)]:   # outH 28 / 28·27 mixes
+        rings = resize_rings(ResizeOperands.create((h, w),
+                                                   scale_factors=list(scale)))
+        want = np.asarray(steering_gaussian_resize_rings(
+            img, rho, sx, sy, rings))
+        got = np.asarray(fn(img, rho, sx, sy,
+                            jax.tree.map(jnp.asarray, rings)))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
+
+
+def test_sharded_sr_pipeline_single_allgather():
+    """Communication-structure pin: the sharded SR pipeline must emit
+    exactly ONE all-gather (the input-sized feat/hyper gather feeding the
+    replicated-source resize) — a regression here means the sharding specs
+    started moving output-sized tensors between chips."""
+    from lerf_tpu.ops import ResizeGeometry
+    from lerf_tpu.ops.lut_pipeline import build_packed_tables
+    from lerf_tpu.parallel import make_mesh, sharded_lut_sr_pipeline
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(11)
+    L4 = 17 ** 4
+    modes = ("s", "c", "t")
+    s1 = build_packed_tables(
+        {m: rng.randint(-127, 128, (L4, 1)).astype(np.int8) for m in modes},
+        modes)
+    s2 = build_packed_tables(
+        {f"{m}r{r}": rng.randint(-127, 128, (L4, 3)).astype(np.int8)
+         for m in modes for r in (0, 1)}, modes, split_r=True)
+    geom = ResizeGeometry.create((16, 16), scale_factors=[2, 2], support=2)
+    img = jnp.asarray(rng.randint(0, 256, (3, 16, 16)).astype(np.int32))
+    hlo = jax.jit(lambda im: sharded_lut_sr_pipeline(
+        im, s1, s2, modes, geom, mesh)).lower(img).compile().as_text()
+    n_ag = hlo.count(" all-gather(") + hlo.count(" all-gather-start(")
+    assert n_ag == 1, hlo[:2000]
+
+
 def test_sharded_stages_distinct_modes2():
     """Regression: stage-2 banks may use a different mode set than stage 1
     (TestConfig.modes2); the sharded stages must key stage 2 by modes2."""
