@@ -368,6 +368,47 @@ def bench_warp_dynamic(h, w, scale=SCALE, iters=40, n_matrices=6):
     return times[len(times) // 2], n_matrices
 
 
+def bench_warp_stream(h, w, scale=SCALE, frames=24, n_matrices=6, depth=2):
+    """Pipelined dynamic-warp serving (lerf_tpu.serve.stream_warp): sustained
+    output MP/s over a stream of DISTINCT homographies with frame k+1's host
+    geometry precompute overlapped against frame k's device execution and
+    D2H copy (bounded in-flight queue over warp_dynamic_async).  Returns
+    (stream MP/s, gain vs the strictly sequential warp_dynamic loop on the
+    SAME stream)."""
+    from lerf_tpu.lut.io import LUTBank
+    from lerf_tpu.pipeline import LutPredictor
+    from lerf_tpu.serve import stream_warp
+
+    try:
+        from lerf_tpu.lut.io import load_lut_bank
+        bank = load_lut_bank("/root/reference/models/lerf-g", out_c=3)
+    except Exception:
+        s1, s2 = load_flat_luts()
+        bank = LUTBank(stage1={m: v.astype(np.int8) for m, v in s1.items()},
+                       stage2={k: v.astype(np.int8) for k, v in s2.items()},
+                       out_c=3)
+    pred = LutPredictor(bank)
+    out_hw = (h * scale, w * scale)
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    mats = [np.eye(3) + rng.randn(3, 3)
+            * np.array([[.05, .05, 4.0], [.05, .05, 4.0], [1e-4, 1e-4, 0.0]])
+            for _ in range(n_matrices)]
+    reqs = [(img, mats[i % n_matrices]) for i in range(frames)]
+    for m in mats[:2]:                                  # compile + warm
+        pred.warp_dynamic(img, m, out_hw)
+    t0 = time.perf_counter()
+    for f, m in reqs:
+        pred.warp_dynamic(f, m, out_hw)
+    t_seq = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_out = sum(1 for _ in stream_warp(pred, reqs, out_hw, depth=depth))
+    t_pipe = time.perf_counter() - t0
+    assert n_out == frames
+    mps = frames * out_hw[0] * out_hw[1] / 1e6 / t_pipe
+    return mps, t_seq / t_pipe
+
+
 def bench_warp_batch(h, w, scale=SCALE, iters=20, batch=4):
     """Batched warp serving (LutPredictor.warp_batch): B frames with
     DISTINCT per-frame homographies through ONE device program.  Returns
@@ -512,6 +553,11 @@ def main(argv=None):
         p50, nmats = bench_warp_dynamic(LR_H, LR_W)
         emit("lerf_g_lut_warp_x4_dynamic_matrix_latency_p50", p50,
              unit=f"ms_across_{nmats}_homographies_one_program")
+        mps, gain = bench_warp_stream(LR_H, LR_W)
+        emit("lerf_g_lut_warp_dynamic_stream_throughput", mps,
+             REF_NUMPY_WARP_MPS)
+        emit("lerf_g_lut_warp_dynamic_stream_overlap_gain", gain,
+             unit="x_vs_sequential_loop")
         # non-periodic scale (×3.55, rational period 71 > MAX_FOV_PERIOD):
         # the static baked-gather path vs the traced-geometry rings program
         emit("lerf_g_lut_sr_x3.55_gather_throughput",

@@ -14,6 +14,12 @@ this is the serving entry point a framework user reaches for first:
 Non-integer and anisotropic scales work (``--scale 1.5x2.0``); ``--matrix
 a,b,c,...,i --outSize HxW`` switches to homographic warping with the same
 hyper maps (out-of-view pixels written black).
+
+``--input`` also takes a directory or a glob; with several inputs
+``--output`` names a directory and — under ``--dynamicSR`` /
+``--dynamicWarp`` — the frames run through the pipelined streaming engine
+(``lerf_tpu.serve``): frame k+1's host geometry precompute and image decode
+overlap frame k's device execution.
 """
 from __future__ import annotations
 
@@ -46,6 +52,73 @@ def build_predictor(cfg: UpscaleConfig):
     return LutPredictor.from_config(cfg)
 
 
+def _expand_inputs(path):
+    import glob
+
+    if os.path.isdir(path):
+        exts = (".png", ".jpg", ".jpeg", ".bmp")
+        files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                       if f.lower().endswith(exts))
+    elif any(ch in path for ch in "*?["):
+        files = sorted(glob.glob(path))
+    else:
+        files = [path]
+    if not files:
+        raise SystemExit(f"no inputs match {path}")
+    return files
+
+
+def _parse_scale(s):
+    if "x" in s:
+        sh, sw = (float(v) for v in s.split("x"))
+        return sh, sw
+    return float(s), float(s)
+
+
+def _parse_matrix(cfg):
+    vals = [float(v) for v in cfg.matrix.split(",")]
+    if len(vals) != 9:
+        raise SystemExit("--matrix needs 9 comma-separated floats")
+    mat = np.asarray(vals, np.float64).reshape(3, 3)
+    try:
+        oh, ow = (int(v) for v in cfg.out_size.split("x"))
+    except ValueError:
+        raise SystemExit("--matrix warp mode needs --outSize HxW "
+                         "(e.g. --outSize 512x512)")
+    return mat, (oh, ow)
+
+
+def _run_stream(cfg, pred, files):
+    """Several inputs: pipeline decode + host precompute against device
+    execution through lerf_tpu.serve (in-order, bit-identical to the
+    sequential path — tests/test_serving_engine.py)."""
+    from PIL import Image
+
+    from ..serve import stream_upscale, stream_warp
+
+    if os.path.splitext(cfg.output)[1]:
+        raise SystemExit("--output must be a directory for several inputs")
+    os.makedirs(cfg.output, exist_ok=True)
+
+    def load(f):
+        return np.array(Image.open(f).convert("RGB"))
+
+    if cfg.matrix:
+        mat, out_hw = _parse_matrix(cfg)
+        results = stream_warp(pred, ((load(f), mat) for f in files), out_hw,
+                              granularity=cfg.bucket)
+        results = (o * np.asarray(m, o.dtype)[..., None]
+                   for o, m in results)
+    else:
+        sh, sw = _parse_scale(cfg.scale)
+        results = stream_upscale(pred, ((load(f), sh, sw) for f in files),
+                                 granularity=cfg.bucket)
+    for f, out in zip(files, results):
+        dst = os.path.join(cfg.output, os.path.basename(f))
+        Image.fromarray(out).save(dst)
+        print(f"{f} -> {dst} {out.shape[1]}x{out.shape[0]}", flush=True)
+
+
 def main(argv=None):
     from PIL import Image
 
@@ -53,27 +126,22 @@ def main(argv=None):
     if not cfg.input or not cfg.output:
         raise SystemExit("--input and --output are required")
     pred = build_predictor(cfg)
+    files = _expand_inputs(cfg.input)
+    if len(files) > 1:
+        if not (cfg.dynamic_sr or (cfg.matrix and cfg.dynamic_warp)):
+            raise SystemExit(
+                "several inputs need the recompile-free serving forms: "
+                "add --dynamicSR (or --dynamicWarp for --matrix mode)")
+        return _run_stream(cfg, pred, files)
     img = np.array(Image.open(cfg.input).convert("RGB"))
 
     if cfg.matrix:
-        vals = [float(v) for v in cfg.matrix.split(",")]
-        if len(vals) != 9:
-            raise SystemExit("--matrix needs 9 comma-separated floats")
-        mat = np.asarray(vals, np.float64).reshape(3, 3)
-        try:
-            oh, ow = (int(v) for v in cfg.out_size.split("x"))
-        except ValueError:
-            raise SystemExit("--matrix warp mode needs --outSize HxW "
-                             "(e.g. --outSize 512x512)")
+        mat, out_hw = _parse_matrix(cfg)
         warp = pred.warp_dynamic if cfg.dynamic_warp else pred.warp
-        out, mask = warp(img, mat, (oh, ow))
+        out, mask = warp(img, mat, out_hw)
         out = out * np.asarray(mask, out.dtype)[..., None]
     else:
-        s = cfg.scale                      # "4", "2.5", or "1.5x2.0"
-        if "x" in s:
-            sh, sw = (float(v) for v in s.split("x"))
-        else:
-            sh = sw = float(s)
+        sh, sw = _parse_scale(cfg.scale)   # "4", "2.5", or "1.5x2.0"
         if cfg.dynamic_sr and hasattr(pred, "upscale_dynamic"):
             out = pred.upscale_dynamic(img, sh, sw, granularity=cfg.bucket)
         elif cfg.bucket > 0 and hasattr(pred, "upscale_bucketed"):

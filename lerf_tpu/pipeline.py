@@ -65,6 +65,51 @@ def _quantize_host(arr, norm):
     return np.clip(np.round(a), 0, norm).astype(np.uint8)
 
 
+def _copy_host_async(*arrays):
+    """Ask the runtime to start the device→host copy as soon as the producing
+    computation finishes — so an in-flight frame's transfer overlaps the next
+    frame's host precompute and device compute instead of serializing inside
+    ``result()``.  Measured on the axon-tunneled chip: host work between
+    dispatch and fetch hides the same amount of transfer time ~1:1."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except AttributeError:      # non-jax (already-host) values
+            pass
+
+
+class ServingFuture:
+    """An in-flight serving request: host geometry precompute done, device
+    program dispatched (JAX dispatch is asynchronous), device→host copy not
+    yet awaited.  ``result()`` blocks on the transfer, finishes the host-side
+    post-processing, and is idempotent.
+
+    Serving loops hold a bounded queue of these (``lerf_tpu.serve.engine``)
+    so the host precompute of frame k+1 overlaps the device execution of
+    frame k — sustained throughput approaches max(host, device) instead of
+    host + device.  The reference's deploy loop is strictly sequential
+    (eval_lut_warp.py per-image ``set_shape`` + forward); the traced-data
+    geometry forms are what make this split possible."""
+    __slots__ = ("_finish", "_value")
+
+    def __init__(self, finish):
+        self._finish = finish
+
+    @classmethod
+    def resolved(cls, value):
+        """A future that already holds its value (fallback paths that ran
+        synchronously) — keeps the streaming loop uniform."""
+        fut = cls(None)
+        fut._value = value
+        return fut
+
+    def result(self):
+        if self._finish is not None:
+            self._value = self._finish()
+            self._finish = None
+        return self._value
+
+
 def _clamp_valid(t, h_ax, w_ax, clamp_hw):
     """Re-clamp rows/cols beyond the valid (h, w) region to the last valid
     index — on a bucket-padded tensor this reproduces the replicate-padding
@@ -462,13 +507,13 @@ class NetPredictor:
             self._resize_dyn_cache[key] = run
         return self._resize_dyn_cache[key]
 
-    def upscale_dynamic(self, img_hwc: np.ndarray, scale_h: float,
-                        scale_w: float, granularity: int = 0):
-        """Arbitrary-scale SR serving for the net forms — no per-scale
-        recompiles (see :meth:`LutPredictor.upscale_dynamic`; identical
-        construction).  The bucketed mode (``granularity>0``) requires
-        replicate-pad stages (SRNet form); the IMDN form serves through the
-        per-(in, out)-shape dynamic program instead."""
+    def upscale_dynamic_async(self, img_hwc: np.ndarray, scale_h: float,
+                              scale_w: float, granularity: int = 0):
+        """Non-blocking :meth:`upscale_dynamic`: host geometry precompute and
+        device dispatch happen NOW; the returned :class:`ServingFuture`'s
+        ``result()`` blocks on the device→host copy.  Requests outside the
+        dynamic envelope resolve synchronously (already-materialized
+        future)."""
         img = np.asarray(img_hwc)
         if img.ndim == 2:
             img = np.stack([img] * 3, axis=-1)
@@ -477,7 +522,8 @@ class NetPredictor:
         prep = _dyn_resize_host(img, scale_h, scale_w, granularity,
                                 self.supp_size, self.linear)
         if prep is None:
-            return self.upscale(img, scale_h, scale_w)
+            return ServingFuture.resolved(
+                self.upscale(img, scale_h, scale_w))
         rings, key, image, out_sz = prep
         chw = np.ascontiguousarray(image.transpose(2, 0, 1)) \
             .astype(np.float32) / self.norm
@@ -489,8 +535,23 @@ class NetPredictor:
         else:
             run = self._resize_dyn_fn(*key)
             out = run(jnp.asarray(chw), rings)
-        out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
-        return out_u8[:out_sz[0], :out_sz[1]]
+        _copy_host_async(out)
+
+        def finish():
+            out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
+            return out_u8[:out_sz[0], :out_sz[1]]
+
+        return ServingFuture(finish)
+
+    def upscale_dynamic(self, img_hwc: np.ndarray, scale_h: float,
+                        scale_w: float, granularity: int = 0):
+        """Arbitrary-scale SR serving for the net forms — no per-scale
+        recompiles (see :meth:`LutPredictor.upscale_dynamic`; identical
+        construction).  The bucketed mode (``granularity>0``) requires
+        replicate-pad stages (SRNet form); the IMDN form serves through the
+        per-(in, out)-shape dynamic program instead."""
+        return self.upscale_dynamic_async(img_hwc, scale_h, scale_w,
+                                          granularity).result()
 
     def upscale_batch(self, imgs_bhwc: np.ndarray, scale_h: float,
                       scale_w: float) -> np.ndarray:
@@ -592,19 +653,14 @@ class NetPredictor:
             self._warp_dyn_cache[key] = run
         return self._warp_dyn_cache[key]
 
-    def warp_dynamic(self, img_hwc: np.ndarray, matrix: np.ndarray,
-                     out_hw: Tuple[int, int], granularity: int = 0):
-        """Homographic warp as a serving form — no per-matrix recompiles
-        (see :meth:`LutPredictor.warp_dynamic`; same construction).
-
-        ``granularity=0``: one program per (in_sz, out_sz), any matrix.
-        ``granularity=g>0``: one program per (in-bucket, N-bucket) — any
-        image size, output size, and matrix; requires replicate-pad stages
-        (the SRNet form; the IMDN form serves un-bucketed).  Support-2
-        only; otherwise the per-matrix path."""
+    def warp_dynamic_async(self, img_hwc: np.ndarray, matrix: np.ndarray,
+                           out_hw: Tuple[int, int], granularity: int = 0):
+        """Non-blocking :meth:`warp_dynamic` — host precompute + device
+        dispatch now, device→host copy deferred to the returned
+        :class:`ServingFuture`'s ``result()``."""
         matrix = np.asarray(matrix)
         if self.supp_size != 2:
-            return self.warp(img_hwc, matrix, out_hw)
+            return ServingFuture.resolved(self.warp(img_hwc, matrix, out_hw))
         img = np.asarray(img_hwc)
         if img.ndim == 2:
             img = np.stack([img] * 3, axis=-1)
@@ -626,15 +682,37 @@ class NetPredictor:
             out = run(jnp.asarray(chw), rings,
                       jnp.asarray(in_sz[0], jnp.int32),
                       jnp.asarray(in_sz[1], jnp.int32))
-            out_u8 = _quantize_host(out, self.norm)[:, :n] \
-                .reshape(-1, *out_hw).transpose(1, 2, 0)
-            return out_u8, mask
+            _copy_host_async(out)
+
+            def finish():
+                out_u8 = _quantize_host(out, self.norm)[:, :n] \
+                    .reshape(-1, *out_hw).transpose(1, 2, 0)
+                return out_u8, mask
+
+            return ServingFuture(finish)
         chw = np.ascontiguousarray(img.transpose(2, 0, 1)) \
             .astype(np.float32) / self.norm
         run = self._warp_dyn_fn(in_sz, out_hw)
         out = run(jnp.asarray(chw), rings)
-        out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
-        return out_u8, mask
+        _copy_host_async(out)
+
+        def finish():
+            return _quantize_host(out, self.norm).transpose(1, 2, 0), mask
+
+        return ServingFuture(finish)
+
+    def warp_dynamic(self, img_hwc: np.ndarray, matrix: np.ndarray,
+                     out_hw: Tuple[int, int], granularity: int = 0):
+        """Homographic warp as a serving form — no per-matrix recompiles
+        (see :meth:`LutPredictor.warp_dynamic`; same construction).
+
+        ``granularity=0``: one program per (in_sz, out_sz), any matrix.
+        ``granularity=g>0``: one program per (in-bucket, N-bucket) — any
+        image size, output size, and matrix; requires replicate-pad stages
+        (the SRNet form; the IMDN form serves un-bucketed).  Support-2
+        only; otherwise the per-matrix path."""
+        return self.warp_dynamic_async(img_hwc, matrix, out_hw,
+                                       granularity).result()
 
     def _warp_batch_fn(self, batch, in_sz, out_sz):
         key = ("batch", batch, in_sz, out_sz)
@@ -994,13 +1072,22 @@ class LutPredictor:
         Match: the reference's per-image host ``set_shape`` serving
         (eval_lut_sr.py:644-661).
         """
+        return self.upscale_dynamic_async(img_hwc, scale_h, scale_w,
+                                          granularity).result()
+
+    def upscale_dynamic_async(self, img_hwc: np.ndarray, scale_h: float,
+                              scale_w: float, granularity: int = 0):
+        """Non-blocking :meth:`upscale_dynamic` — host per-axis geometry +
+        device dispatch now; ``result()`` blocks on the device→host copy
+        (see :class:`ServingFuture`)."""
         img = np.asarray(img_hwc)
         if img.ndim == 2:
             img = np.stack([img] * 3, axis=-1)
         prep = _dyn_resize_host(img, scale_h, scale_w, granularity,
                                 self.supp_size, self.linear)
         if prep is None:
-            return self.upscale(img, scale_h, scale_w)
+            return ServingFuture.resolved(
+                self.upscale(img, scale_h, scale_w))
         rings, key, image, out_sz = prep
         chw = np.ascontiguousarray(image.transpose(2, 0, 1)).astype(np.int32)
         if key[0] == "bucket":
@@ -1011,8 +1098,13 @@ class LutPredictor:
         else:
             run = self._resize_dyn_fn(*key)
             out = run(jnp.asarray(chw), rings)
-        out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
-        return out_u8[:out_sz[0], :out_sz[1]]
+        _copy_host_async(out)
+
+        def finish():
+            out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
+            return out_u8[:out_sz[0], :out_sz[1]]
+
+        return ServingFuture(finish)
 
     def upscale_batch(self, imgs_bhwc: np.ndarray, scale_h: float,
                       scale_w: float) -> np.ndarray:
@@ -1167,9 +1259,20 @@ class LutPredictor:
         Both modes are bit-identical to :meth:`warp`
         (tests/test_dynamic_warp.py).  Falls back to the per-matrix path
         outside the u8 row-pack deploy config (support 2, norm 255)."""
+        return self.warp_dynamic_async(img_hwc, matrix, out_hw,
+                                       return_aux=return_aux,
+                                       granularity=granularity).result()
+
+    def warp_dynamic_async(self, img_hwc: np.ndarray, matrix: np.ndarray,
+                           out_hw: Tuple[int, int], return_aux: bool = False,
+                           granularity: int = 0):
+        """Non-blocking :meth:`warp_dynamic` — host precompute (the C warp
+        kernel) + device dispatch now; ``result()`` blocks on the
+        device→host copy (see :class:`ServingFuture`)."""
         matrix = np.asarray(matrix)
         if self.supp_size != 2 or self.norm != 255:
-            return self.warp(img_hwc, matrix, out_hw, return_aux)
+            return ServingFuture.resolved(
+                self.warp(img_hwc, matrix, out_hw, return_aux))
         img = np.asarray(img_hwc)
         if img.ndim == 2:
             img = np.stack([img] * 3, axis=-1)
@@ -1191,21 +1294,32 @@ class LutPredictor:
             out, feat, hyper = run(jnp.asarray(chw), rings,
                                    jnp.asarray(in_sz[0], jnp.int32),
                                    jnp.asarray(in_sz[1], jnp.int32))
-            out_u8 = _quantize_host(out, self.norm)[:, :n] \
-                .reshape(-1, *out_hw).transpose(1, 2, 0)
-            if return_aux:
-                h, w = in_sz
-                return out_u8, mask, \
-                    np.asarray(feat)[..., :h, :w], \
-                    np.asarray(hyper)[..., :h, :w, :]
-            return out_u8, mask
+            _copy_host_async(*((out, feat, hyper) if return_aux
+                               else (out,)))
+
+            def finish_bucket():
+                out_u8 = _quantize_host(out, self.norm)[:, :n] \
+                    .reshape(-1, *out_hw).transpose(1, 2, 0)
+                if return_aux:
+                    h, w = in_sz
+                    return out_u8, mask, \
+                        np.asarray(feat)[..., :h, :w], \
+                        np.asarray(hyper)[..., :h, :w, :]
+                return out_u8, mask
+
+            return ServingFuture(finish_bucket)
         chw = np.ascontiguousarray(img.transpose(2, 0, 1)).astype(np.int32)
         run = self._warp_dyn_fn(in_sz, out_hw)
         out, feat, hyper = run(jnp.asarray(chw), rings)
-        out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
-        if return_aux:
-            return out_u8, mask, np.asarray(feat), np.asarray(hyper)
-        return out_u8, mask
+        _copy_host_async(*((out, feat, hyper) if return_aux else (out,)))
+
+        def finish():
+            out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
+            if return_aux:
+                return out_u8, mask, np.asarray(feat), np.asarray(hyper)
+            return out_u8, mask
+
+        return ServingFuture(finish)
 
     def _warp_batch_fn(self, batch, in_sz, out_sz):
         key = ("batch", batch, in_sz, out_sz)
