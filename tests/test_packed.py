@@ -115,7 +115,7 @@ def test_banded_stages_bit_exact():
          for m in modes for r in (0, 1)}, modes, split_r=True)
     img = jnp.asarray(rng.randint(0, 256, (3, 23, 31)).astype(np.int32))
 
-    for bt in (31 * 3 * 4, 31 * 3 * 7, 31 * 3):       # 4-row, 7-row, 1-row
+    for bt in (31 * 3 * 4, 31 * 3):     # 4-row (non-divisor) and 1-row bands
         f_ref = lut_stage1(img, s1, modes, band_target=10 ** 9)
         f_got = lut_stage1(img, s1, modes, band_target=bt)
         np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(f_got))
