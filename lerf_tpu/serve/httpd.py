@@ -1,0 +1,206 @@
+"""HTTP serving daemon over the recompile-free dynamic predictors.
+
+The reference has no serving layer at all (SURVEY §1: its deploy surface
+is batch eval drivers, ``eval_lut_sr.py`` / ``eval_model.py``); this
+daemon completes the production-deploy story the dynamic forms were
+built for: one long-lived process holds the compiled dynamic programs —
+program identity is (shape, output-shape) only, or (shape-bucket,
+output-bucket) with ``granularity>0`` — so a request stream of arbitrary
+scales, homographies, and image sizes NEVER triggers an XLA recompile
+after warmup.
+
+stdlib-only: ``http.server`` for transport, PIL (already a data-layer
+dependency) for image codecs, raw ``.npy``/``.npz`` for bit-exact
+clients.
+
+Endpoints
+  GET  /healthz
+      → ``{"ok": true, "backend": "tpu", "form": "...", "served": N}``
+  POST /v1/upscale?scale=4 | scale=1.5x2.0
+      body: png/jpeg (any PIL format) or application/x-npy uint8 HWC
+      → image/png, or application/x-npy when the request body was npy
+        (npy in → npy out is bit-exact to ``upscale_dynamic``)
+  POST /v1/warp?matrix=a,b,c,d,e,f,g,h,i&outSize=HxW[&format=npz]
+      → image/png of the masked output (out-of-view pixels black, the
+        eval-driver convention, eval_lut_warp.py:197-233) with header
+        ``X-Lerf-Mask-Coverage``; ``format=npz`` returns the raw
+        ``{out, mask}`` pair instead.
+
+Concurrency: requests decode/encode in their own threads
+(``ThreadingHTTPServer``); device work is funneled through the async
+predictor API under a dispatch lock — the lock covers only host
+precompute + dispatch, so frame k+1's decode and geometry precompute
+overlap frame k's device execution and D2H copy, exactly like the
+bounded-queue engine (`engine.py`).
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+__all__ = ["make_server"]
+
+
+def _parse_scale(s: str):
+    if "x" in s:
+        sh, sw = (float(v) for v in s.split("x"))
+        return sh, sw
+    return float(s), float(s)
+
+
+def _parse_matrix(s: str) -> np.ndarray:
+    vals = [float(v) for v in s.split(",")]
+    if len(vals) != 9:
+        raise ValueError("matrix needs 9 comma-separated floats")
+    return np.asarray(vals, np.float64).reshape(3, 3)
+
+
+def _decode_image(body: bytes, ctype: str):
+    """→ (uint8 HWC image, came_as_npy)."""
+    if "npy" in ctype:
+        arr = np.load(io.BytesIO(body), allow_pickle=False)
+        if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[-1] != 3:
+            raise ValueError(
+                f"npy body must be uint8 [H, W, 3], got {arr.dtype} "
+                f"{arr.shape}")
+        return arr, True
+    from PIL import Image
+
+    return np.array(Image.open(io.BytesIO(body)).convert("RGB")), False
+
+
+def _npy_bytes(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+def _png_bytes(arr: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+class _State:
+    def __init__(self, pred, granularity: int):
+        self.pred = pred
+        self.granularity = granularity
+        self.dispatch_lock = threading.Lock()
+        self.served = 0
+
+
+def _build_handler(state: _State):
+    class Handler(BaseHTTPRequestHandler):
+        # one daemon serves many short requests; keep-alive default
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet access log
+            pass
+
+        def _send(self, code: int, payload: bytes, ctype: str,
+                  extra=()):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(payload)))
+            for k, v in extra:
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _send_json(self, code: int, obj):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                import jax
+
+                self._send_json(200, {
+                    "ok": True,
+                    "backend": jax.default_backend(),
+                    "form": type(state.pred).__name__,
+                    "granularity": state.granularity,
+                    "served": state.served,
+                })
+            elif path == "/":
+                self._send(200, __doc__.encode(), "text/plain")
+            else:
+                self._send_json(404, {"error": f"no route {path}"})
+
+        def _read_body(self):
+            n = int(self.headers.get("Content-Length", "0"))
+            if n <= 0:
+                raise ValueError("empty request body")
+            return self.rfile.read(n)
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            q = {k: v[-1] for k, v in parse_qs(url.query).items()}
+            try:
+                img, as_npy = _decode_image(
+                    self._read_body(), self.headers.get("Content-Type", ""))
+                if url.path == "/v1/upscale":
+                    self._upscale(img, as_npy, q)
+                elif url.path == "/v1/warp":
+                    self._warp(img, as_npy, q)
+                else:
+                    self._send_json(404, {"error": f"no route {url.path}"})
+                    return
+                state.served += 1
+            except (ValueError, KeyError) as e:
+                self._send_json(400, {"error": str(e)})
+
+        def _upscale(self, img, as_npy, q):
+            sh, sw = _parse_scale(q.get("scale", "4"))
+            with state.dispatch_lock:   # host precompute + dispatch only
+                fut = state.pred.upscale_dynamic_async(
+                    img, sh, sw, granularity=state.granularity)
+            out = fut.result()          # device compute + D2H, unlocked
+            if as_npy:
+                self._send(200, _npy_bytes(out), "application/x-npy")
+            else:
+                self._send(200, _png_bytes(out), "image/png")
+
+        def _warp(self, img, as_npy, q):
+            matrix = _parse_matrix(q["matrix"])
+            try:
+                oh, ow = (int(v) for v in q["outSize"].split("x"))
+            except ValueError:
+                raise ValueError("outSize must be HxW, e.g. 512x512")
+            with state.dispatch_lock:
+                fut = state.pred.warp_dynamic_async(
+                    img, matrix, (oh, ow), granularity=state.granularity)
+            out, mask = fut.result()
+            if q.get("format") == "npz":
+                buf = io.BytesIO()
+                np.savez(buf, out=out, mask=np.asarray(mask))
+                self._send(200, buf.getvalue(), "application/x-npz")
+                return
+            mask = np.asarray(mask)
+            cov = float(mask.mean())
+            masked = out * mask.astype(out.dtype)[..., None]
+            payload = (_npy_bytes(masked) if as_npy else _png_bytes(masked))
+            self._send(200, payload,
+                       "application/x-npy" if as_npy else "image/png",
+                       extra=(("X-Lerf-Mask-Coverage", f"{cov:.6f}"),))
+
+    return Handler
+
+
+def make_server(pred, *, host: str = "127.0.0.1", port: int = 0,
+                granularity: int = 0) -> ThreadingHTTPServer:
+    """Build (but do not start) the daemon; ``port=0`` picks a free port
+    (``server.server_address[1]`` reports it).  ``granularity>0`` buckets
+    input/output shapes so heterogeneous request streams share programs
+    (pipeline.upscale_dynamic / warp_dynamic semantics, bit-identical)."""
+    state = _State(pred, granularity)
+    server = ThreadingHTTPServer((host, port), _build_handler(state))
+    server.lerf_state = state
+    return server

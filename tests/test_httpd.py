@@ -1,0 +1,194 @@
+"""HTTP serving daemon (lerf_tpu.serve.httpd): the network surface must be
+bit-exact to the in-process dynamic predictors — npy in → npy out equals
+upscale_dynamic / warp_dynamic — and concurrent clients must each get
+their own correct frame (the dispatch lock serializes device entry, the
+transport never mixes responses)."""
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from lerf_tpu.lut.io import LUTBank
+from lerf_tpu.pipeline import LutPredictor
+from lerf_tpu.serve import make_server
+
+L4 = 17 ** 4
+MODES = ("s", "c", "t")
+IN_SZ = (37, 45)
+OUT_SZ = (52, 40)
+MAT = np.array([[1.1, 0.02, 3.0], [0.01, 0.95, -2.0], [1e-4, 2e-5, 1.0]])
+
+
+def _lut_predictor():
+    rng = np.random.RandomState(7)
+    bank = LUTBank(
+        stage1={m: rng.randint(-127, 128, (L4, 1)).astype(np.int8)
+                for m in MODES},
+        stage2={f"{m}r{r}": rng.randint(-127, 128, (L4, 3)).astype(np.int8)
+                for m in MODES for r in (0, 1)},
+        out_c=3)
+    return LutPredictor(bank)
+
+
+@pytest.fixture(scope="module")
+def served():
+    pred = _lut_predictor()
+    server = make_server(pred, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield pred, base
+    server.shutdown()
+
+
+def _post(url, body, ctype="application/x-npy"):
+    req = urllib.request.Request(url, data=body, method="POST",
+                                 headers={"Content-Type": ctype})
+    return urllib.request.urlopen(req, timeout=600)
+
+
+def _post_npy(url, img):
+    buf = io.BytesIO()
+    np.save(buf, img)
+    resp = _post(url, buf.getvalue())
+    return resp, np.load(io.BytesIO(resp.read()), allow_pickle=False)
+
+
+def test_healthz(served):
+    _, base = served
+    with urllib.request.urlopen(base + "/healthz", timeout=60) as resp:
+        info = json.loads(resp.read())
+    assert info["ok"] and info["form"] == "LutPredictor"
+
+
+def test_upscale_npy_bit_exact(served):
+    pred, base = served
+    img = np.random.RandomState(21).randint(
+        0, 256, (*IN_SZ, 3), dtype=np.uint8)
+    resp, got = _post_npy(base + "/v1/upscale?scale=1.5x2.0", img)
+    assert resp.headers["Content-Type"] == "application/x-npy"
+    np.testing.assert_array_equal(got, pred.upscale_dynamic(img, 1.5, 2.0))
+
+
+def test_upscale_png_round_trip(served):
+    from PIL import Image
+
+    pred, base = served
+    img = np.random.RandomState(22).randint(
+        0, 256, (*IN_SZ, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    resp = _post(base + "/v1/upscale?scale=1.5x2.0", buf.getvalue(),
+                 ctype="image/png")
+    assert resp.headers["Content-Type"] == "image/png"
+    got = np.array(Image.open(io.BytesIO(resp.read())).convert("RGB"))
+    np.testing.assert_array_equal(got, pred.upscale_dynamic(img, 1.5, 2.0))
+
+
+def test_warp_npz_bit_exact(served):
+    pred, base = served
+    img = np.random.RandomState(23).randint(
+        0, 256, (*IN_SZ, 3), dtype=np.uint8)
+    mat = ",".join(str(v) for v in MAT.ravel())
+    buf = io.BytesIO()
+    np.save(buf, img)
+    resp = _post(f"{base}/v1/warp?matrix={mat}"
+                 f"&outSize={OUT_SZ[0]}x{OUT_SZ[1]}&format=npz",
+                 buf.getvalue())
+    pack = np.load(io.BytesIO(resp.read()), allow_pickle=False)
+    want_out, want_mask = pred.warp_dynamic(img, MAT, OUT_SZ)
+    np.testing.assert_array_equal(pack["out"], want_out)
+    np.testing.assert_array_equal(pack["mask"], np.asarray(want_mask))
+
+
+def test_warp_npy_masked_with_coverage_header(served):
+    pred, base = served
+    img = np.random.RandomState(24).randint(
+        0, 256, (*IN_SZ, 3), dtype=np.uint8)
+    mat = ",".join(str(v) for v in MAT.ravel())
+    resp, got = _post_npy(
+        f"{base}/v1/warp?matrix={mat}&outSize={OUT_SZ[0]}x{OUT_SZ[1]}", img)
+    want_out, want_mask = pred.warp_dynamic(img, MAT, OUT_SZ)
+    mask = np.asarray(want_mask)
+    np.testing.assert_array_equal(
+        got, want_out * mask.astype(want_out.dtype)[..., None])
+    assert abs(float(resp.headers["X-Lerf-Mask-Coverage"])
+               - mask.mean()) < 1e-5
+
+
+def test_concurrent_clients_get_their_own_frames(served):
+    pred, base = served
+    rng = np.random.RandomState(25)
+    imgs = [rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
+            for _ in range(4)]
+    want = [pred.upscale_dynamic(im, 1.5, 2.0) for im in imgs]
+    got = [None] * len(imgs)
+
+    def worker(i):
+        _, got[i] = _post_npy(base + "/v1/upscale?scale=1.5x2.0", imgs[i])
+
+    ts = [threading.Thread(target=worker, args=(i,))
+          for i in range(len(imgs))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
+
+
+def test_bad_requests_return_400(served):
+    _, base = served
+    img = np.zeros((8, 8, 3), np.uint8)
+    buf = io.BytesIO()
+    np.save(buf, img)
+    # bad matrix arity
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/warp?matrix=1,2,3&outSize=8x8", buf.getvalue())
+    assert ei.value.code == 400
+    # missing outSize
+    mat = ",".join(str(v) for v in np.eye(3).ravel())
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{base}/v1/warp?matrix={mat}", buf.getvalue())
+    assert ei.value.code == 400
+    # wrong npy payload shape
+    buf2 = io.BytesIO()
+    np.save(buf2, np.zeros((8, 8), np.float32))
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/upscale?scale=2", buf2.getvalue())
+    assert ei.value.code == 400
+    # unknown route
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/nope", buf.getvalue())
+    assert ei.value.code == 404
+
+
+def test_serve_cli_builds_daemon(tmp_path):
+    """The CLI wires config → predictor → server without serving forever."""
+    from lerf_tpu.cli import serve as serve_cli
+    from lerf_tpu.lut.io import save_lut_bank
+
+    rng = np.random.RandomState(26)
+    bank = LUTBank(
+        stage1={m: rng.randint(-127, 128, (L4, 1)).astype(np.int8)
+                for m in MODES},
+        stage2={f"{m}r{r}": rng.randint(-127, 128, (L4, 3)).astype(np.int8)
+                for m in MODES for r in (0, 1)},
+        out_c=3)
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    save_lut_bank(bank, str(exp), lut_name="LUTft")
+    server = serve_cli.main(["-e", str(exp), "--port", "0", "--bucket",
+                             "16", "--platform", "cpu"],
+                            serve_forever=False)
+    assert server.lerf_state.granularity == 16
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    with urllib.request.urlopen(base + "/healthz", timeout=60) as resp:
+        assert json.loads(resp.read())["granularity"] == 16
+    server.shutdown()
