@@ -42,7 +42,7 @@ def _build() -> str:
         tmp = os.path.join(td, "out.so")
         subprocess.run(
             [cc, "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp,
-             _SRC, "-lm"],
+             _SRC, "-lm", "-pthread"],
             check=True, capture_output=True)
         os.replace(tmp, so)
     return so
@@ -65,7 +65,7 @@ def get_warp_lib():
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         fn = lib.warp_operands_fused
         fn.restype = ctypes.c_int
-        fn.argtypes = [f64p] + [ctypes.c_int64] * 9 + [ctypes.c_int] + \
+        fn.argtypes = [f64p] + [ctypes.c_int64] * 9 + [ctypes.c_int] * 2 + \
             [i32p, f32p, f32p, u8p,
              ctypes.c_void_p, ctypes.c_void_p,
              ctypes.c_void_p, ctypes.c_void_p]
@@ -73,3 +73,14 @@ def get_warp_lib():
     except Exception:
         _lib = None
     return _lib
+
+
+def native_threads() -> int:
+    """Worker count for the row-parallel kernels: ``LERF_NATIVE_THREADS``
+    if set, else one per visible CPU.  Rows partition disjointly, so the
+    result is bit-equal for every thread count (asserted in
+    tests/test_dynamic_warp.py::test_native_threaded_bit_equal)."""
+    env = os.environ.get("LERF_NATIVE_THREADS", "")
+    if env:
+        return max(1, int(env))
+    return max(1, os.cpu_count() or 1)

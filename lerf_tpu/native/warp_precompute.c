@@ -26,9 +26,11 @@
  *                      rewritten as pure arithmetic)
  */
 #include <math.h>
+#include <pthread.h>
 #include <stdint.h>
 
 #define BK 128
+#define MAX_THREADS 64
 
 static inline double clipd(double v, double lo, double hi) {
     /* numpy clip(a, lo, hi) == minimum(hi, maximum(lo, a)) for finite v */
@@ -78,29 +80,42 @@ static void axis_block(
     }
 }
 
-int warp_operands_fused(
-    const double *inv,          /* [9] row-major inverse homography       */
-    int64_t in_h, int64_t in_w, /* input spatial size                     */
-    int64_t oh, int64_t ow,     /* output spatial size                    */
-    int64_t pad0x, int64_t pad0y,   /* support-2 pads (set by pixel 0,0)  */
-    int64_t pad0mx, int64_t pad0my, /* support-1 (mask) pads              */
-    int64_t border,             /* mask border shave (4)                  */
-    int linear,                 /* also emit amplified-linear branch masks*/
-    int32_t *restrict corner,   /* [oh*ow]                                */
-    float *restrict dis_x,      /* [oh*ow, 2]                             */
-    float *restrict dis_y,
-    uint8_t *restrict mask,     /* [oh*ow]                                */
-    float *restrict mneg_x,     /* [oh*ow, 2], linear only                */
-    float *restrict mpos_x,
-    float *restrict mneg_y, float *restrict mpos_y)
+/* everything a row range needs; shared read-only across worker threads  */
+typedef struct {
+    const double *inv;
+    int64_t in_h, in_w, oh, ow;
+    int64_t pad0x, pad0y, pad0mx, pad0my, border;
+    int linear;
+    int32_t *corner;
+    float *dis_x, *dis_y;
+    uint8_t *mask;
+    float *mneg_x, *mpos_x, *mneg_y, *mpos_y;
+    int64_t y_lo, y_hi;         /* this worker's row range [y_lo, y_hi)   */
+} warp_args;
+
+/* the per-pixel arithmetic for output rows [y_lo, y_hi) — byte-identical
+   results for any row partition (rows are independent; every store below
+   lands in this range's disjoint [y*ow ...] slots), so the threaded entry
+   point is bit-equal to the single-thread one by construction            */
+static void run_rows(const warp_args *restrict a)
 {
     const double EPS = 1.1920928955078125e-07; /* float32 eps, exact      */
+    const double *inv = a->inv;
     const double i00 = inv[0], i01 = inv[1], i02 = inv[2];
     const double i10 = inv[3], i11 = inv[4], i12 = inv[5];
     const double i20 = inv[6], i21 = inv[7], i22 = inv[8];
+    const int64_t in_h = a->in_h, in_w = a->in_w, ow = a->ow;
+    const int64_t pad0mx = a->pad0mx, pad0my = a->pad0my;
+    const int64_t border = a->border;
+    const int linear = a->linear;
     const double fh = (double)in_h, fw = (double)in_w;
-    const double p0x = (double)pad0x, p0y = (double)pad0y;
+    const double p0x = (double)a->pad0x, p0y = (double)a->pad0y;
     const double stride = (double)(in_w + 3);
+    int32_t *restrict corner = a->corner;
+    float *restrict dis_x = a->dis_x, *restrict dis_y = a->dis_y;
+    uint8_t *restrict mask = a->mask;
+    float *restrict mneg_x = a->mneg_x, *restrict mpos_x = a->mpos_x;
+    float *restrict mneg_y = a->mneg_y, *restrict mpos_y = a->mpos_y;
 
     double gx[BK], gy[BK], lx[BK], ly[BK];
     double ex0[BK], ex1[BK], ey0[BK], ey1[BK];
@@ -109,7 +124,7 @@ int warp_operands_fused(
     float ny0[BK], ny1[BK], py0[BK], py1[BK];
     uint8_t okx[BK], oky[BK];
 
-    for (int64_t y = 0; y < oh; ++y) {
+    for (int64_t y = a->y_lo; y < a->y_hi; ++y) {
         const double yd = (double)y;
         const double ay = i01 * yd, by = i11 * yd, cy_ = i21 * yd;
         for (int64_t x0 = 0; x0 < ow; x0 += BK) {
@@ -155,5 +170,66 @@ int warp_operands_fused(
             }
         }
     }
+}
+
+static void *worker(void *p)
+{
+    run_rows((const warp_args *)p);
+    return 0;
+}
+
+int warp_operands_fused(
+    const double *inv,          /* [9] row-major inverse homography       */
+    int64_t in_h, int64_t in_w, /* input spatial size                     */
+    int64_t oh, int64_t ow,     /* output spatial size                    */
+    int64_t pad0x, int64_t pad0y,   /* support-2 pads (set by pixel 0,0)  */
+    int64_t pad0mx, int64_t pad0my, /* support-1 (mask) pads              */
+    int64_t border,             /* mask border shave (4)                  */
+    int linear,                 /* also emit amplified-linear branch masks*/
+    int threads,                /* worker count; <=1 runs inline          */
+    int32_t *corner,            /* [oh*ow]                                */
+    float *dis_x,               /* [oh*ow, 2]                             */
+    float *dis_y,
+    uint8_t *mask,              /* [oh*ow]                                */
+    float *mneg_x,              /* [oh*ow, 2], linear only                */
+    float *mpos_x,
+    float *mneg_y, float *mpos_y)
+{
+    warp_args base = {inv, in_h, in_w, oh, ow, pad0x, pad0y, pad0mx,
+                      pad0my, border, linear, corner, dis_x, dis_y, mask,
+                      mneg_x, mpos_x, mneg_y, mpos_y, 0, oh};
+    if (threads > MAX_THREADS) threads = MAX_THREADS;
+    if (threads > oh) threads = (int)oh;
+    if (threads <= 1) {
+        run_rows(&base);
+        return 0;
+    }
+    warp_args args[MAX_THREADS];
+    pthread_t tids[MAX_THREADS];
+    int started = 0;
+    for (int t = 0; t < threads; ++t) {
+        args[t] = base;
+        args[t].y_lo = oh * t / threads;       /* contiguous disjoint rows */
+        args[t].y_hi = oh * (t + 1) / threads;
+        if (t == threads - 1 ||
+            pthread_create(&tids[t], 0, worker, &args[t]) != 0) {
+            run_rows(&args[t]);                /* last chunk (or spawn
+                                                  failure) runs inline     */
+            if (t != threads - 1) {            /* spawn failed: finish the
+                                                  tail serially, bit-equal */
+                for (int u = t + 1; u < threads; ++u) {
+                    args[u] = base;
+                    args[u].y_lo = oh * u / threads;
+                    args[u].y_hi = oh * (u + 1) / threads;
+                    run_rows(&args[u]);
+                }
+                break;
+            }
+        } else {
+            started = t + 1;
+        }
+    }
+    for (int t = 0; t < started; ++t)
+        pthread_join(tids[t], 0);
     return 0;
 }

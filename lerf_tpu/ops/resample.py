@@ -1099,7 +1099,7 @@ def warp_serving_host_fused(in_sz, matrix, out_sz, *, border: int = 4,
         return (np.clip(q - 1, 0, in_n - 1) - p0 + 1).astype(np.int32)
 
     if native and dtype == np.float32:
-        from ..native import get_warp_lib
+        from ..native import get_warp_lib, native_threads
         lib = get_warp_lib()
         if lib is not None:
             n = oh * ow
@@ -1113,7 +1113,7 @@ def warp_serving_host_fused(in_sz, matrix, out_sz, *, border: int = 4,
             lib.warp_operands_fused(
                 np.ascontiguousarray(inv), in_h, in_w, oh, ow,
                 pad0[0], pad0[1], pad0m[0], pad0m[1], border, int(linear),
-                corner, dis_x, dis_y, mask_u8,
+                native_threads(), corner, dis_x, dis_y, mask_u8,
                 ptr[0], ptr[1], ptr[2], ptr[3])
             rings = WarpRings(
                 ring(in_h, pad0[0]), ring(in_w, pad0[1]), corner,

@@ -147,6 +147,37 @@ def test_native_matches_numpy():
                     np.testing.assert_array_equal(a, b)
 
 
+def test_native_threaded_bit_equal(monkeypatch):
+    """Row-parallel C precompute: the output must be byte-identical for
+    every worker count (rows partition disjointly — pure scheduling).
+    Forced to 3 threads even on this 1-core host: correctness of the
+    partition/join logic doesn't need real parallel hardware."""
+    import pytest
+
+    from lerf_tpu.native import get_warp_lib
+    from lerf_tpu.ops.resample import warp_serving_host_fused
+
+    if get_warp_lib() is None:
+        pytest.skip("no C toolchain; numpy fused path is production")
+    m = _matrices()[0]
+    for linear in (False, True):
+        monkeypatch.setenv("LERF_NATIVE_THREADS", "1")
+        want, want_mask = warp_serving_host_fused(
+            IN_SZ, m, OUT_SZ, linear=linear, native=True)
+        monkeypatch.setenv("LERF_NATIVE_THREADS", "3")
+        got, got_mask = warp_serving_host_fused(
+            IN_SZ, m, OUT_SZ, linear=linear, native=True)
+        np.testing.assert_array_equal(want_mask, got_mask)
+        for a, b in zip(want, got):
+            if a is None:
+                assert b is None
+            elif isinstance(a, tuple):
+                for x, y in zip(a, b):
+                    np.testing.assert_array_equal(x, y)
+            else:
+                np.testing.assert_array_equal(a, b)
+
+
 def test_rings_for_bucket_matches_operands_bucket():
     """rings_for_bucket (rings-level bucketing) must equal bucketing at the
     operands level then building rings — including the linear masks' pad
