@@ -38,6 +38,8 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -94,6 +96,19 @@ class _State:
         self.granularity = granularity
         self.dispatch_lock = threading.Lock()
         self.served = 0
+        # sliding latency window (seconds): dispatch = host precompute +
+        # async device dispatch under the lock; total = + device + fetch
+        self.lat_dispatch = deque(maxlen=256)
+        self.lat_total = deque(maxlen=256)
+
+    def percentiles(self, samples):
+        if not samples:
+            return {}
+        ms = sorted(1e3 * s for s in samples)
+        return {"p50_ms": round(ms[len(ms) // 2], 2),
+                "p99_ms": round(ms[min(len(ms) - 1,
+                                       int(len(ms) * 0.99))], 2),
+                "n": len(ms)}
 
 
 def _build_handler(state: _State):
@@ -128,6 +143,8 @@ def _build_handler(state: _State):
                     "form": type(state.pred).__name__,
                     "granularity": state.granularity,
                     "served": state.served,
+                    "dispatch": state.percentiles(state.lat_dispatch),
+                    "total": state.percentiles(state.lat_total),
                 })
             elif path == "/":
                 self._send(200, __doc__.encode(), "text/plain")
@@ -159,10 +176,13 @@ def _build_handler(state: _State):
 
         def _upscale(self, img, as_npy, q):
             sh, sw = _parse_scale(q.get("scale", "4"))
+            t0 = time.perf_counter()
             with state.dispatch_lock:   # host precompute + dispatch only
                 fut = state.pred.upscale_dynamic_async(
                     img, sh, sw, granularity=state.granularity)
+                state.lat_dispatch.append(time.perf_counter() - t0)
             out = fut.result()          # device compute + D2H, unlocked
+            state.lat_total.append(time.perf_counter() - t0)
             if as_npy:
                 self._send(200, _npy_bytes(out), "application/x-npy")
             else:
@@ -174,10 +194,13 @@ def _build_handler(state: _State):
                 oh, ow = (int(v) for v in q["outSize"].split("x"))
             except ValueError:
                 raise ValueError("outSize must be HxW, e.g. 512x512")
+            t0 = time.perf_counter()
             with state.dispatch_lock:
                 fut = state.pred.warp_dynamic_async(
                     img, matrix, (oh, ow), granularity=state.granularity)
+                state.lat_dispatch.append(time.perf_counter() - t0)
             out, mask = fut.result()
+            state.lat_total.append(time.perf_counter() - t0)
             if q.get("format") == "npz":
                 buf = io.BytesIO()
                 np.savez(buf, out=out, mask=np.asarray(mask))

@@ -141,6 +141,41 @@ def test_concurrent_clients_get_their_own_frames(served):
         np.testing.assert_array_equal(w, g)
 
 
+def test_healthz_latency_stats_accumulate(served):
+    """After requests have been served, /healthz reports dispatch/total
+    latency percentiles over the sliding window (runs after the request
+    tests above in file order)."""
+    _, base = served
+    with urllib.request.urlopen(base + "/healthz", timeout=60) as resp:
+        info = json.loads(resp.read())
+    assert info["served"] >= 1
+    assert info["total"]["n"] >= 1
+    assert info["total"]["p50_ms"] >= info["dispatch"]["p50_ms"] >= 0
+
+
+def test_net_form_daemon_bit_exact():
+    """The daemon serves NetPredictor forms identically (one shared HTTP
+    surface for the LUT and network deploy forms)."""
+    import jax
+
+    from lerf_tpu.models import srnet
+    from lerf_tpu.pipeline import NetPredictor
+
+    params = srnet.init_lerf_nets(jax.random.PRNGKey(0), nf=8, out_c=3)
+    pred = NetPredictor.from_srnets(params)
+    server = make_server(pred, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    img = np.random.RandomState(31).randint(
+        0, 256, (*IN_SZ, 3), dtype=np.uint8)
+    try:
+        _, got = _post_npy(base + "/v1/upscale?scale=1.5x2.0", img)
+    finally:
+        server.shutdown()
+    np.testing.assert_array_equal(got, pred.upscale_dynamic(img, 1.5, 2.0))
+
+
 def test_bad_requests_return_400(served):
     _, base = served
     img = np.zeros((8, 8, 3), np.uint8)
