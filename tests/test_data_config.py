@@ -26,6 +26,7 @@ def tiny_div2k(tmp_path_factory):
     return str(root), files
 
 
+@pytest.mark.smoke
 def test_div2k_sampler_shapes_and_cache(tiny_div2k):
     root, files = tiny_div2k
     ds = DIV2K(root, 4, crop_size=12, in_c=1, seed=0, file_list=files)
@@ -53,6 +54,7 @@ def test_provider_prefetch(tiny_div2k):
     p.close()
 
 
+@pytest.mark.smoke
 def test_config_camel_case_aliases(tmp_path):
     cfg = parse_config(TrainConfig, [
         "--batchSize", "8", "--cropSize", "24", "--totalIter", "100",

@@ -97,6 +97,7 @@ def _lut_predictor(linear=False):
     return LutPredictor(bank, linear=linear)
 
 
+@pytest.mark.smoke
 def test_lut_upscale_dynamic_bit_exact_one_program():
     """Scales that share (in, out) shapes must share ONE compiled program
     (2.0 and 1.97 both produce out = 42×52 at 21×26)."""

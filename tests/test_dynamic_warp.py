@@ -6,6 +6,7 @@ jitted path for every matrix."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lerf_tpu.lut.io import LUTBank
 from lerf_tpu.models import srnet
@@ -118,6 +119,7 @@ def test_fused_host_precompute_bit_equal():
                 nearest_warp_mask_host(IN_SZ, m, OUT_SZ, border=4), got_mask)
 
 
+@pytest.mark.smoke
 def test_native_matches_numpy():
     """The C single-pass precompute must be bit-identical to the numpy
     fused path (which is bit-identical to the separate-pass path) — every

@@ -6,6 +6,7 @@ The dynamic-warp serving host cost is dominated by this module
 optimized forms to the straightforward reference formulations so future
 edits can't silently change the geometry.
 """
+import pytest
 import numpy as np
 
 from lerf_tpu.ops.geometry import WarpOperands, _serving_axis, _warp_grid
@@ -65,6 +66,7 @@ def test_serving_axis_float_form_bit_equal_to_int64_form():
         np.testing.assert_array_equal(d_new, d_old)
 
 
+@pytest.mark.smoke
 def test_warp_operands_distances_match_warp_geometry():
     """WarpOperands (dynamic serving) and WarpGeometry (per-matrix) derive
     from the same grid; their distances must stay value-identical."""

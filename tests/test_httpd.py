@@ -65,6 +65,7 @@ def test_healthz(served):
     assert info["ok"] and info["form"] == "LutPredictor"
 
 
+@pytest.mark.smoke
 def test_upscale_npy_bit_exact(served):
     pred, base = served
     img = np.random.RandomState(21).randint(

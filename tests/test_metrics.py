@@ -9,6 +9,7 @@ RNG = np.random.RandomState
 
 
 @requires_reference
+@pytest.mark.smoke
 def test_psnr_matches_reference():
     u = ref_utils()
     r = RNG(0)
@@ -44,6 +45,7 @@ def test_mpsnr_matches_reference():
 
 
 @requires_reference
+@pytest.mark.smoke
 def test_ssim_matches_reference():
     u = ref_utils()
     r = RNG(3)
@@ -55,6 +57,7 @@ def test_ssim_matches_reference():
 
 
 @requires_reference
+@pytest.mark.smoke
 def test_rgb2ycbcr_matches_reference():
     u = ref_utils()
     r = RNG(4)

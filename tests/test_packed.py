@@ -81,6 +81,7 @@ def test_packed_int8_tables_bit_exact():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.smoke
 def test_packed_stages_bit_exact():
     s1 = rand_luts(("s", "c", "t"), 1, False, seed=20)
     s2 = rand_luts(("s", "c", "t"), 3, True, seed=21)

@@ -36,6 +36,7 @@ SHAPES = [
 
 @requires_reference
 @pytest.mark.parametrize("shape,scale", SHAPES)
+@pytest.mark.smoke
 def test_steering_gaussian_resize_matches_oracle(shape, scale):
     m = ref_resize_numpy()
     img = rand_img(*shape)

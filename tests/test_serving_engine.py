@@ -2,6 +2,7 @@
 the async dynamic forms must yield results in order and bit-identical to
 the sequential warp_dynamic / upscale_dynamic calls, for every pipeline
 depth — the overlap is pure scheduling, never arithmetic."""
+import pytest
 import jax
 import numpy as np
 
@@ -87,6 +88,7 @@ def test_stream_warp_bucketed_mixed_shapes():
     assert len([k for k in pred._warp_dyn_cache if k[0] == "bucket"]) == 1
 
 
+@pytest.mark.smoke
 def test_stream_upscale_matches_sequential():
     pred = _lut_predictor()
     rng = np.random.RandomState(23)

@@ -34,6 +34,7 @@ def ref_simplex(lut_i8, img_u8, mode, rot, oC, interval=4):
 @requires_reference
 @pytest.mark.parametrize("mode", ["s", "d", "y", "c", "t"])
 @pytest.mark.parametrize("oC", [1, 3])
+@pytest.mark.smoke
 def test_simplex_matches_reference_rot0(mode, oC):
     lut = rand_lut(oC, seed=hash(mode) % 100)
     img = rand_img_u8(2, 11, 13, seed=3)

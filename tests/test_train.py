@@ -50,6 +50,7 @@ def test_cosine_lr_matches_torch_lambda():
         assert abs(got - want) < 1e-10
 
 
+@pytest.mark.smoke
 def test_gradients_flow_through_both_stages():
     params = small_params()
     im, lb = fake_batch(2)
