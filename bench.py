@@ -513,8 +513,48 @@ def bench_train(batch=16, crop=48, scale=4, iters=30):
     return iters / (time.perf_counter() - t0)
 
 
+def _wait_for_tpu(budget_s=None, poll_s=30.0):
+    """The axon TPU tunnel flaps; a bench run landing in a flap window
+    should wait for the chip, not crash or record a host-CPU number.
+    Probes in a SUBPROCESS (a JAX backend choice is process-permanent, so
+    the parent must not touch jax until a probe succeeds).  After the
+    budget it returns False and the run proceeds on whatever backend
+    exists — the emitted numbers then honestly reflect that backend.
+    Tune/disable with LERF_BENCH_WAIT_TPU_SECS (0 = no wait)."""
+    import subprocess
+
+    if budget_s is None:
+        budget_s = float(os.environ.get("LERF_BENCH_WAIT_TPU_SECS", "600"))
+    probe = ("import jax, sys; "
+             "sys.exit(0 if jax.devices()[0].platform != 'cpu' else 1)")
+    deadline = time.time() + budget_s
+    first = True
+    while True:
+        try:
+            ok = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                timeout=max(poll_s * 4, 120)).returncode == 0
+        except subprocess.TimeoutExpired:   # half-up tunnel: probe hangs
+            ok = False
+        if ok:
+            return True
+        if time.time() >= deadline:
+            print("bench: no TPU visible after waiting; proceeding on the "
+                  "available backend", file=sys.stderr)
+            # a pinned JAX_PLATFORMS (e.g. "axon") would make jax init
+            # raise outright with the tunnel down; let it auto-choose
+            os.environ["JAX_PLATFORMS"] = ""
+            return False
+        if first:
+            print("bench: TPU not visible (tunnel flap?); waiting up to "
+                  f"{budget_s:.0f}s", file=sys.stderr)
+            first = False
+        time.sleep(poll_s)
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
+    _wait_for_tpu()
     # XLA:TPU gather compiles are minutes-long on this stack; the persistent
     # cache makes them one-time per machine.
     from lerf_tpu.config import enable_jit_cache

@@ -91,10 +91,14 @@ def _png_bytes(arr: np.ndarray) -> bytes:
 
 
 class _State:
-    def __init__(self, pred, granularity: int):
+    def __init__(self, pred, granularity: int, max_inflight: int):
         self.pred = pred
         self.granularity = granularity
         self.dispatch_lock = threading.Lock()
+        # bounds dispatched-not-yet-fetched frames (each holds its device
+        # output buffers until the D2H fetch) — the daemon analog of the
+        # streaming engine's queue depth
+        self.inflight = threading.Semaphore(max_inflight)
         self.served = 0
         # sliding latency window (seconds): dispatch = host precompute +
         # async device dispatch under the lock; total = + device + fetch
@@ -177,11 +181,12 @@ def _build_handler(state: _State):
         def _upscale(self, img, as_npy, q):
             sh, sw = _parse_scale(q.get("scale", "4"))
             t0 = time.perf_counter()
-            with state.dispatch_lock:   # host precompute + dispatch only
-                fut = state.pred.upscale_dynamic_async(
-                    img, sh, sw, granularity=state.granularity)
-                state.lat_dispatch.append(time.perf_counter() - t0)
-            out = fut.result()          # device compute + D2H, unlocked
+            with state.inflight:
+                with state.dispatch_lock:  # host precompute+dispatch only
+                    fut = state.pred.upscale_dynamic_async(
+                        img, sh, sw, granularity=state.granularity)
+                    state.lat_dispatch.append(time.perf_counter() - t0)
+                out = fut.result()         # device compute + D2H, unlocked
             state.lat_total.append(time.perf_counter() - t0)
             if as_npy:
                 self._send(200, _npy_bytes(out), "application/x-npy")
@@ -195,11 +200,13 @@ def _build_handler(state: _State):
             except ValueError:
                 raise ValueError("outSize must be HxW, e.g. 512x512")
             t0 = time.perf_counter()
-            with state.dispatch_lock:
-                fut = state.pred.warp_dynamic_async(
-                    img, matrix, (oh, ow), granularity=state.granularity)
-                state.lat_dispatch.append(time.perf_counter() - t0)
-            out, mask = fut.result()
+            with state.inflight:
+                with state.dispatch_lock:
+                    fut = state.pred.warp_dynamic_async(
+                        img, matrix, (oh, ow),
+                        granularity=state.granularity)
+                    state.lat_dispatch.append(time.perf_counter() - t0)
+                out, mask = fut.result()
             state.lat_total.append(time.perf_counter() - t0)
             if q.get("format") == "npz":
                 buf = io.BytesIO()
@@ -218,12 +225,15 @@ def _build_handler(state: _State):
 
 
 def make_server(pred, *, host: str = "127.0.0.1", port: int = 0,
-                granularity: int = 0) -> ThreadingHTTPServer:
+                granularity: int = 0,
+                max_inflight: int = 8) -> ThreadingHTTPServer:
     """Build (but do not start) the daemon; ``port=0`` picks a free port
     (``server.server_address[1]`` reports it).  ``granularity>0`` buckets
     input/output shapes so heterogeneous request streams share programs
-    (pipeline.upscale_dynamic / warp_dynamic semantics, bit-identical)."""
-    state = _State(pred, granularity)
+    (pipeline.upscale_dynamic / warp_dynamic semantics, bit-identical).
+    ``max_inflight`` caps dispatched-not-yet-fetched frames so a burst of
+    concurrent clients cannot queue unbounded output buffers in HBM."""
+    state = _State(pred, granularity, max_inflight)
     server = ThreadingHTTPServer((host, port), _build_handler(state))
     server.lerf_state = state
     return server

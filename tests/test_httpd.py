@@ -154,6 +154,37 @@ def test_healthz_latency_stats_accumulate(served):
     assert info["total"]["p50_ms"] >= info["dispatch"]["p50_ms"] >= 0
 
 
+def test_max_inflight_one_still_correct_under_concurrency():
+    """With the in-flight cap at 1 (fully serialized device pipeline),
+    concurrent clients still each get their own correct frame — the cap
+    is backpressure, never reordering."""
+    pred = _lut_predictor()
+    server = make_server(pred, port=0, max_inflight=1)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    rng = np.random.RandomState(30)
+    imgs = [rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
+            for _ in range(3)]
+    want = [pred.upscale_dynamic(im, 1.5, 2.0) for im in imgs]
+    got = [None] * len(imgs)
+
+    def worker(i):
+        _, got[i] = _post_npy(base + "/v1/upscale?scale=1.5x2.0", imgs[i])
+
+    ts = [threading.Thread(target=worker, args=(i,))
+          for i in range(len(imgs))]
+    try:
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join()
+    finally:
+        server.shutdown()
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
+
+
 def test_net_form_daemon_bit_exact():
     """The daemon serves NetPredictor forms identically (one shared HTTP
     surface for the LUT and network deploy forms)."""
