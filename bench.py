@@ -524,7 +524,7 @@ def _wait_for_tpu(budget_s=None, poll_s=30.0):
     import subprocess
 
     if budget_s is None:
-        budget_s = float(os.environ.get("LERF_BENCH_WAIT_TPU_SECS", "600"))
+        budget_s = float(os.environ.get("LERF_BENCH_WAIT_TPU_SECS", "1800"))
     probe = ("import jax, sys; "
              "sys.exit(0 if jax.devices()[0].platform != 'cpu' else 1)")
     deadline = time.time() + budget_s
