@@ -168,6 +168,42 @@ def test_upscale_cli_streams_directory(tmp_path):
             np.array(Image.open(p).convert("RGB")), single)
 
 
+def test_upscale_cli_single_image_warp_mode(tmp_path):
+    """--matrix switches the single-image CLI to homographic warping; the
+    saved png must equal warp_dynamic's masked output (out-of-view black,
+    the eval-driver convention)."""
+    from PIL import Image
+
+    from lerf_tpu.cli import upscale as up
+    from lerf_tpu.lut.io import save_lut_bank
+
+    rng = np.random.RandomState(27)
+    bank = LUTBank(
+        stage1={m: rng.randint(-127, 128, (L4, 1)).astype(np.int8)
+                for m in MODES},
+        stage2={f"{m}r{r}": rng.randint(-127, 128, (L4, 3)).astype(np.int8)
+                for m in MODES for r in (0, 1)},
+        out_c=3)
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    save_lut_bank(bank, str(exp), lut_name="LUTft")
+    img = rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
+    Image.fromarray(img).save(tmp_path / "in.png")
+    mat = _matrices()[0]
+    out = up.main([
+        "-e", str(exp), "--input", str(tmp_path / "in.png"),
+        "--output", str(tmp_path / "out.png"),
+        "--matrix", ",".join(str(v) for v in mat.ravel()),
+        "--outSize", f"{OUT_SZ[0]}x{OUT_SZ[1]}", "--dynamicWarp",
+        "--platform", "cpu"])
+    pred = LutPredictor(bank)
+    want_out, want_mask = pred.warp_dynamic(img, mat, OUT_SZ)
+    want = want_out * np.asarray(want_mask, want_out.dtype)[..., None]
+    np.testing.assert_array_equal(out, want)
+    np.testing.assert_array_equal(
+        np.array(Image.open(tmp_path / "out.png").convert("RGB")), want)
+
+
 def test_async_fallback_resolves_eagerly(monkeypatch):
     """Outside the serving envelope the async variant must fall back to the
     exact per-shape path and hand back an already-resolved future."""
