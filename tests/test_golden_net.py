@@ -79,6 +79,120 @@ def _reference_eval_sr(files, scale=2.0):
     return results
 
 
+WARP = os.path.join(REFERENCE_ROOT, "data", "WarpBenchmark")
+
+
+def _reference_eval_warp(files, scale_p):
+    """The reference eval_model.py WARP loop (lines 182-286), verbatim
+    semantics on CPU torch: two-stage mulut_predict per channel, per-image
+    ``set_shape`` homography, NearestWarp2dTorch border-4 validity mask,
+    hyper de-interleave, SteeringGaussianWarp2dTorch, NaN-zeroing
+    (eval_model.py:261), round/clip, RGB mPSNR (common/utils.py:168-174).
+
+    The matrix passes through ``torch.Tensor(matrix).double()``
+    (eval_model.py:218) — a float32 round-trip — so the effective
+    homography has f32 precision; the caller must hand our predictor the
+    same truncated matrix for an apples-to-apples cross-check."""
+    import torch
+    from PIL import Image
+
+    for p in (REFERENCE_ROOT, os.path.join(REFERENCE_ROOT, "resample")):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from common.utils import mPSNR
+    from resize_right.resize_right2d_torch import (
+        NearestWarp2dTorch, SteeringGaussianWarp2dTorch)
+
+    model_g = torch.load(CKPT, map_location="cpu", weights_only=False)
+    model_g.eval()
+    warper = SteeringGaussianWarp2dTorch(
+        support_sz=2, device=torch.device("cpu"), max_sigma=10)
+    nn_warper = NearestWarp2dTorch(device=torch.device("cpu"))
+
+    def mulut_predict(x, stage):                 # eval_model.py:25-34, inC=1
+        with torch.no_grad():
+            return torch.cat([model_g.predict(x[:, i:i + 1], stage=stage)
+                              for i in range(x.shape[1])], dim=1)
+
+    results = {}
+    for f in files:
+        lr = np.array(Image.open(os.path.join(
+            WARP, "Set5", scale_p, f))).astype(np.float32)
+        gt = np.array(Image.open(os.path.join(RR, "Set5", "HR", f)))
+        x = torch.Tensor(lr)[None].permute(0, 3, 1, 2) / 255.0
+        lb = torch.Tensor(np.expand_dims(
+            np.transpose(gt, [2, 0, 1]), axis=0))
+        raw = torch.load(os.path.join(WARP, "Set5", scale_p,
+                                      f.replace("png", "pth")),
+                         weights_only=False).numpy()
+        m = torch.Tensor(raw).double()           # eval_model.py:218 f32 trip
+
+        feat = mulut_predict(x, 1)               # twoStage (eval:229-232)
+        hyper = mulut_predict(feat / 255.0, 2)
+
+        all_white = torch.zeros_like(x)          # eval_model.py:237-243
+        h, w = all_white.shape[-2:]
+        all_white[:, :, 4:h - 4, 4:w - 4] = 255
+        nn_warper.set_shape(x.shape, m, lb.shape)
+        mask = nn_warper.warp(all_white).bool()
+
+        warper.set_shape(x.shape, m, lb.shape)   # eval_model.py:248
+        c = hyper.shape[1]
+        pred = warper.warp(feat,
+                           hyper[:, list(range(0, c, 3))],
+                           hyper[:, list(range(1, c + 1, 3))],
+                           hyper[:, list(range(2, c + 2, 3))])
+        pred[pred.isnan()] = 0                   # eval_model.py:261
+        pred = torch.round(pred.clip(0, 255))
+        psnr = float(mPSNR(pred, lb, mask, 255))
+        out = np.clip(pred[0].numpy().transpose(1, 2, 0),
+                      0, 255).astype(np.uint8)
+        results[f] = (out, psnr, mask[0, 0].numpy())
+    return results
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("scale_p", ["isc", "osc"])
+def test_net_form_warp_matches_reference_eval_loop(scale_p):
+    """Per-image exact cross-check of the WARP eval branch: NetPredictor
+    (XLA CPU) vs the reference torch eval_model.py warp loop run through
+    the oracle — mPSNR within 0.01 dB, validity mask bit-equal, pixel
+    level ≤3 LSB with >2 at ≤1e-5 rate (same discipline as the SR
+    cross-check above; the warp's per-pixel support weights can amplify a
+    knife-edge ±1 stage-code flip by one extra count — measured: one
+    pixel-channel at 3 across all four image/scale_p cases, mPSNR deltas
+    0.0003–0.0015 dB)."""
+    import torch
+    from PIL import Image
+
+    from lerf_tpu.utils.metrics import mpsnr
+
+    if not os.path.isdir(WARP):
+        pytest.skip("WarpBenchmark fixtures not available")
+    want = _reference_eval_warp(FILES, scale_p)
+    params = load_reference_checkpoint(CKPT)
+    pred = NetPredictor.from_srnets(params)
+    for f in FILES:
+        lr = np.array(Image.open(os.path.join(WARP, "Set5", scale_p, f)))
+        gt = np.array(Image.open(os.path.join(RR, "Set5", "HR", f)))
+        raw = torch.load(os.path.join(WARP, "Set5", scale_p,
+                                      f.replace("png", "pth")),
+                         weights_only=False).numpy()
+        matrix = raw.astype(np.float32).astype(np.float64)  # same f32 trip
+        out, mask = pred.warp(lr, matrix, gt.shape[:2])
+        w_out, w_psnr, w_mask = want[f]
+        assert np.array_equal(mask, w_mask), (scale_p, f)
+        diff = np.abs(out.astype(np.int32) - w_out.astype(np.int32))
+        diff = diff * mask[:, :, None]           # mPSNR scores masked px only
+        assert diff.max() <= 3, (scale_p, f, diff.max())
+        assert (diff != 0).mean() < 2e-2, (scale_p, f, (diff != 0).mean())
+        assert (diff > 1).mean() < 1e-3, (scale_p, f, (diff > 1).mean())
+        assert (diff > 2).mean() < 1e-5, (scale_p, f, (diff > 2).mean())
+        psnr = mpsnr(out.astype(np.float64), gt.astype(np.float64),
+                     mask[:, :, None])
+        assert abs(psnr - w_psnr) < 0.01, (scale_p, f, psnr, w_psnr)
+
+
 @pytest.mark.slow
 def test_net_form_matches_reference_eval_loop():
     """Per-image exact cross-check: NetPredictor (XLA CPU) vs the reference
