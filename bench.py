@@ -525,6 +525,9 @@ def _wait_for_tpu(budget_s=None, poll_s=30.0):
 
     if budget_s is None:
         budget_s = float(os.environ.get("LERF_BENCH_WAIT_TPU_SECS", "1800"))
+    pinned = os.environ.get("JAX_PLATFORMS", "")
+    if pinned.strip().lower() == "cpu":
+        return False        # an explicit CPU run: honor the pin, don't wait
     probe = ("import jax, sys; "
              "sys.exit(0 if jax.devices()[0].platform != 'cpu' else 1)")
     deadline = time.time() + budget_s
@@ -541,9 +544,11 @@ def _wait_for_tpu(budget_s=None, poll_s=30.0):
         if time.time() >= deadline:
             print("bench: no TPU visible after waiting; proceeding on the "
                   "available backend", file=sys.stderr)
-            # a pinned JAX_PLATFORMS (e.g. "axon") would make jax init
-            # raise outright with the tunnel down; let it auto-choose
-            os.environ["JAX_PLATFORMS"] = ""
+            # a pin to a TPU platform (e.g. "axon") would make jax init
+            # raise outright with the tunnel down — clear only that; any
+            # other user pin stays intact
+            if pinned:
+                os.environ["JAX_PLATFORMS"] = ""
             return False
         if first:
             print("bench: TPU not visible (tunnel flap?); waiting up to "

@@ -48,6 +48,10 @@ import numpy as np
 __all__ = ["make_server"]
 
 
+class _TooLarge(Exception):
+    """Request body exceeds the configured cap (→ HTTP 413)."""
+
+
 def _parse_scale(s: str):
     if "x" in s:
         sh, sw = (float(v) for v in s.split("x"))
@@ -91,21 +95,38 @@ def _png_bytes(arr: np.ndarray) -> bytes:
 
 
 class _State:
-    def __init__(self, pred, granularity: int, max_inflight: int):
+    def __init__(self, pred, granularity: int, max_inflight: int,
+                 max_body_bytes: int):
         self.pred = pred
         self.granularity = granularity
+        self.max_body_bytes = max_body_bytes
         self.dispatch_lock = threading.Lock()
         # bounds dispatched-not-yet-fetched frames (each holds its device
         # output buffers until the D2H fetch) — the daemon analog of the
         # streaming engine's queue depth
         self.inflight = threading.Semaphore(max_inflight)
+        # guards the stats below: request threads append/increment
+        # concurrently, and /healthz iterates the deques — an unlocked
+        # deque mutated mid-iteration raises RuntimeError
+        self.stats_lock = threading.Lock()
         self.served = 0
         # sliding latency window (seconds): dispatch = host precompute +
         # async device dispatch under the lock; total = + device + fetch
         self.lat_dispatch = deque(maxlen=256)
         self.lat_total = deque(maxlen=256)
 
+    def record(self, dispatch_s=None, total_s=None, served=False):
+        with self.stats_lock:
+            if dispatch_s is not None:
+                self.lat_dispatch.append(dispatch_s)
+            if total_s is not None:
+                self.lat_total.append(total_s)
+            if served:
+                self.served += 1
+
     def percentiles(self, samples):
+        with self.stats_lock:
+            samples = list(samples)
         if not samples:
             return {}
         ms = sorted(1e3 * s for s in samples)
@@ -159,6 +180,10 @@ def _build_handler(state: _State):
             n = int(self.headers.get("Content-Length", "0"))
             if n <= 0:
                 raise ValueError("empty request body")
+            if n > state.max_body_bytes:
+                raise _TooLarge(
+                    f"body of {n} bytes exceeds the "
+                    f"{state.max_body_bytes}-byte limit")
             return self.rfile.read(n)
 
         def do_POST(self):
@@ -174,9 +199,27 @@ def _build_handler(state: _State):
                 else:
                     self._send_json(404, {"error": f"no route {url.path}"})
                     return
-                state.served += 1
-            except (ValueError, KeyError) as e:
+                state.record(served=True)
+            except _TooLarge as e:
+                # the oversized body was never read — close the connection
+                # (reading N hundred MB just to keep keep-alive alive would
+                # be the DoS we're avoiding; Connection: close makes the
+                # client resync instead of the server desyncing on reuse)
+                self.close_connection = True
+                self._send_json(413, {"error": str(e)})
+            except (ValueError, KeyError, OSError) as e:
+                # OSError covers PIL's UnidentifiedImageError on malformed
+                # image bodies — a client error, not a server fault
                 self._send_json(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — keep-alive must survive
+                # an unexpected failure must produce an HTTP response (and
+                # keep the long-lived daemon's connection usable), never a
+                # dead thread and a dropped connection
+                try:
+                    self._send_json(500, {
+                        "error": f"{type(e).__name__}: {e}"})
+                except OSError:
+                    pass  # client already gone; nothing to report to
 
         def _upscale(self, img, as_npy, q):
             sh, sw = _parse_scale(q.get("scale", "4"))
@@ -185,9 +228,9 @@ def _build_handler(state: _State):
                 with state.dispatch_lock:  # host precompute+dispatch only
                     fut = state.pred.upscale_dynamic_async(
                         img, sh, sw, granularity=state.granularity)
-                    state.lat_dispatch.append(time.perf_counter() - t0)
+                    state.record(dispatch_s=time.perf_counter() - t0)
                 out = fut.result()         # device compute + D2H, unlocked
-            state.lat_total.append(time.perf_counter() - t0)
+            state.record(total_s=time.perf_counter() - t0)
             if as_npy:
                 self._send(200, _npy_bytes(out), "application/x-npy")
             else:
@@ -205,9 +248,9 @@ def _build_handler(state: _State):
                     fut = state.pred.warp_dynamic_async(
                         img, matrix, (oh, ow),
                         granularity=state.granularity)
-                    state.lat_dispatch.append(time.perf_counter() - t0)
+                    state.record(dispatch_s=time.perf_counter() - t0)
                 out, mask = fut.result()
-            state.lat_total.append(time.perf_counter() - t0)
+            state.record(total_s=time.perf_counter() - t0)
             if q.get("format") == "npz":
                 buf = io.BytesIO()
                 np.savez(buf, out=out, mask=np.asarray(mask))
@@ -225,15 +268,17 @@ def _build_handler(state: _State):
 
 
 def make_server(pred, *, host: str = "127.0.0.1", port: int = 0,
-                granularity: int = 0,
-                max_inflight: int = 8) -> ThreadingHTTPServer:
+                granularity: int = 0, max_inflight: int = 8,
+                max_body_bytes: int = 256 << 20) -> ThreadingHTTPServer:
     """Build (but do not start) the daemon; ``port=0`` picks a free port
     (``server.server_address[1]`` reports it).  ``granularity>0`` buckets
     input/output shapes so heterogeneous request streams share programs
     (pipeline.upscale_dynamic / warp_dynamic semantics, bit-identical).
     ``max_inflight`` caps dispatched-not-yet-fetched frames so a burst of
-    concurrent clients cannot queue unbounded output buffers in HBM."""
-    state = _State(pred, granularity, max_inflight)
+    concurrent clients cannot queue unbounded output buffers in HBM;
+    ``max_body_bytes`` (default 256 MB — an 8K uint8 RGB frame is ~100 MB)
+    rejects larger uploads with 413 before buffering them."""
+    state = _State(pred, granularity, max_inflight, max_body_bytes)
     server = ThreadingHTTPServer((host, port), _build_handler(state))
     server.lerf_state = state
     return server

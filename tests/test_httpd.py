@@ -234,6 +234,103 @@ def test_bad_requests_return_400(served):
     assert ei.value.code == 404
 
 
+def test_malformed_bodies_return_400(served):
+    """Garbage image/npy bytes are CLIENT errors: PIL's
+    UnidentifiedImageError (an OSError) and np.load's ValueError must both
+    surface as HTTP 400, never a dead handler thread and a dropped
+    connection."""
+    _, base = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/upscale?scale=2", b"\x89PNG but not really",
+              ctype="image/png")
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/upscale?scale=2", b"\x93NUMPY garbage here")
+    assert ei.value.code == 400
+    # the daemon still serves after the malformed bodies
+    pred, _ = served
+    img = np.random.RandomState(40).randint(
+        0, 256, (*IN_SZ, 3), dtype=np.uint8)
+    _, got = _post_npy(base + "/v1/upscale?scale=1.5x2.0", img)
+    np.testing.assert_array_equal(got, pred.upscale_dynamic(img, 1.5, 2.0))
+
+
+def test_oversized_body_413():
+    """A Content-Length above the cap is rejected with 413 BEFORE the body
+    is buffered, and the daemon keeps serving afterwards."""
+    pred = _lut_predictor()
+    server = make_server(pred, port=0, max_body_bytes=1024)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    big = np.zeros((64, 64, 3), np.uint8)           # ~12 KB as npy
+    buf = io.BytesIO()
+    np.save(buf, big)
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/v1/upscale?scale=2", buf.getvalue())
+        assert ei.value.code == 413
+        assert "limit" in json.loads(ei.value.read())["error"]
+        # under-cap requests still serve
+        small = np.random.RandomState(41).randint(
+            0, 256, (8, 8, 3), dtype=np.uint8)
+        _, got = _post_npy(base + "/v1/upscale?scale=2", small)
+        np.testing.assert_array_equal(got, pred.upscale_dynamic(small, 2, 2))
+    finally:
+        server.shutdown()
+
+
+def test_unexpected_error_500_keepalive_survives():
+    """A failure outside the expected client-error set produces a JSON 500
+    on the SAME keep-alive connection, and the connection remains usable
+    for the next request (no dead thread, no drop)."""
+    import http.client
+
+    class Boom:
+        """Delegates to a real predictor, detonates on scale_h == 7."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def upscale_dynamic_async(self, img, sh, sw, granularity=0):
+            if sh == 7:
+                raise RuntimeError("synthetic device fault")
+            return self._inner.upscale_dynamic_async(
+                img, sh, sw, granularity=granularity)
+
+        def upscale_dynamic(self, *a, **k):
+            return self._inner.upscale_dynamic(*a, **k)
+
+    inner = _lut_predictor()
+    server = make_server(Boom(inner), port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    img = np.random.RandomState(42).randint(
+        0, 256, (8, 8, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    np.save(buf, img)
+    body = buf.getvalue()
+    conn = http.client.HTTPConnection(
+        "127.0.0.1", server.server_address[1], timeout=600)
+    try:
+        conn.request("POST", "/v1/upscale?scale=7", body,
+                     {"Content-Type": "application/x-npy"})
+        resp = conn.getresponse()
+        assert resp.status == 500
+        err = json.loads(resp.read())
+        assert "RuntimeError" in err["error"]
+        # same socket, next request succeeds
+        conn.request("POST", "/v1/upscale?scale=2", body,
+                     {"Content-Type": "application/x-npy"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        got = np.load(io.BytesIO(resp.read()), allow_pickle=False)
+        np.testing.assert_array_equal(got, inner.upscale_dynamic(img, 2, 2))
+    finally:
+        conn.close()
+        server.shutdown()
+
+
 def test_serve_cli_builds_daemon(tmp_path):
     """The CLI wires config → predictor → server without serving forever."""
     from lerf_tpu.cli import serve as serve_cli
