@@ -157,6 +157,63 @@ def _resize_serving_axis(in_sz: int, out_sz: int, scale: float,
     return idx.astype(np.int32), dis
 
 
+# distance assigned to inactive (support-bucket pad) neighbor slots: far
+# enough that the float64 linear branch masks are zero and the float32
+# gaussian exponent underflows, small enough that its square stays finite
+# in float32 (no NaN/Inf can leak through the masked weights)
+_FAR = 1.0e8
+
+
+def _resize_serving_axis_aa(in_sz: int, out_sz: int, scale: float,
+                            sup_true: int, sup_bucket: int, pad: int):
+    """Per-axis operands for the ANY-scale serving envelope.
+
+    Same grid/left/distance math as :func:`_resize_axis` with the true
+    (anti-alias inflated) support, re-expressed over a FIXED ±``pad``
+    frame: the value at index ``j`` of the scale-dependent ``pad0``-padded
+    plane sits at index ``j - pad0 + pad`` of a plane padded by exactly
+    ``pad`` rows/cols per side, for both pad modes (zero rows / replicated
+    edge rows line up the same way as the upscale ±1 frame,
+    :func:`_resize_serving_axis`).  Distances keep the static path's exact
+    float64 arithmetic ORDER (shift both grid and fov by the true
+    ``pad0`` before subtracting — see the 1-ulp note above).
+
+    Neighbor slots ``s >= sup_true`` (the support-bucket padding) get
+    distance :data:`_FAR` (zero weight via the linear float64 branch masks
+    and the gaussian underflow) and weight-mask 0.
+
+    Returns ``(idx [out] int32, dis [out, sup_bucket] float64,
+    wmask [out, sup_bucket] float32)``.
+    """
+    grid = (np.arange(out_sz, dtype=np.float64) / scale
+            + (in_sz - 1) / 2.0 - (out_sz - 1) / (2.0 * scale))
+    left = np.ceil(grid - sup_true / 2.0 - _EPS).astype(np.int64)
+    pad0 = int(-left[0])          # the static path's pad (may be negative)
+    idx = left + pad
+    if idx.min() < 0 or idx.max() + sup_true - 1 > in_sz + 2 * pad - 1:
+        raise ValueError("scale outside the ±pad serving frame "
+                         f"(support {sup_true}, pad {pad})")
+    offs = np.arange(sup_true, dtype=np.int64)[None, :]
+    dis_true = (grid + pad0)[:, None] - (left[:, None] + offs + pad0)
+    dis = np.full((out_sz, sup_bucket), _FAR, np.float64)
+    dis[:, :sup_true] = dis_true
+    wmask = np.zeros((out_sz, sup_bucket), np.float32)
+    wmask[:, :sup_true] = 1.0
+    return idx.astype(np.int32), dis, wmask
+
+
+def support_bucket(sup_true: int, floor: int = 2, cap: int = 64) -> int:
+    """Smallest power of two ≥ ``sup_true`` (≥ ``floor``); raises beyond
+    ``cap`` (cap 64 ⇒ anti-aliased downscales to 1/32 scale serve
+    dynamically; smaller scales keep the exact per-shape path)."""
+    b = floor
+    while b < sup_true:
+        b *= 2
+    if b > cap:
+        raise ValueError(f"support {sup_true} beyond the serving cap {cap}")
+    return b
+
+
 @dataclasses.dataclass(frozen=True)
 class ResizeOperands:
     """Scale-dependent *data* (not program constants) for dynamic-scale SR
@@ -166,26 +223,39 @@ class ResizeOperands:
     program as constants, so every new ``(scale, shape)`` pays a full XLA
     compile (the periodic-slab path additionally requires the scale's
     rational period ≤ 32 — ops.resample.MAX_FOV_PERIOD).  Here every
-    scale-dependent quantity has a shape fixed by ``(in_sz, out_sz)`` alone
-    and is passed as a *traced input*: ONE compiled program serves ANY
-    ``(scale_h, scale_w)`` at a shape pair — non-aligned fractional and
-    period>32 scales included — and the per-scale host work is two O(out)
-    1-D float64 passes (resize is separable, so unlike the warp analog
-    :class:`WarpOperands` no O(outH·outW) arrays exist at all).
+    scale-dependent quantity has a shape fixed by ``(in_sz, out_sz)`` (and
+    the support bucket) alone and is passed as a *traced input*: ONE
+    compiled program serves ANY ``(scale_h, scale_w)`` at a shape pair —
+    non-aligned fractional and period>32 scales included — and the
+    per-scale host work is two O(out) 1-D float64 passes (resize is
+    separable, so unlike the warp analog :class:`WarpOperands` no
+    O(outH·outW) arrays exist at all).
 
     Matches the reference's arbitrary-scale serving envelope
     (eval_lut_sr.py:644-661 recomputes host ``set_shape`` per image/scale).
-    Upscaling only (scale ≥ 1 per axis; the deploy SR configuration) —
-    downscales inflate support via anti-aliasing, which changes operand
-    shapes, so they keep the per-shape compiled path.
+
+    :meth:`create` is the upscale deploy configuration (support 2, ±1
+    frame, ``aa_scale == 1``).  :meth:`create_any` additionally serves
+    anti-aliased DOWNSCALES (reference AA semantics,
+    resize_right2d_numpy.py:52-55,186-193): the inflated support
+    ``ceil(2/min_scale)`` rounds up to a power-of-two bucket whose pad
+    slots carry zero weight, the frame pad grows to ``bucket/2 + 1``, and
+    the AA kernel scale ``min_scale`` ships as a traced scalar — so one
+    program per ``(in_sz, out_sz, support_bucket)`` serves every scale in
+    the bucket, bit-equal to the per-shape AA path
+    (tests/test_dynamic_resize.py).
     """
     in_sz: tuple
     out_sz: tuple
-    support: int         # always 2 — the deploy configuration
-    idx_x: np.ndarray    # [outH] int32 left-neighbor row into ±1-padded plane
+    support: int         # serving support bucket (2 = upscale deploy form)
+    idx_x: np.ndarray    # [outH] int32 left-neighbor row into ±pad plane
     idx_y: np.ndarray    # [outW] int32
     dis_x: np.ndarray    # [outH, S] float64
     dis_y: np.ndarray    # [outW, S] float64
+    pad: int = 1         # fixed frame pad per side
+    aa_scale: float = 1.0          # min(scale) when anti-aliasing, else 1
+    wmask_x: np.ndarray = None     # [outH, S] float32 0/1 — AA only
+    wmask_y: np.ndarray = None     # [outW, S]
 
     @classmethod
     def create(cls, in_sz: Sequence[int], scale_factors=None, out_sz=None,
@@ -196,13 +266,40 @@ class ResizeOperands:
             raise ValueError("dynamic resize serving is support-2 only")
         if scale[0] < 1.0 or scale[1] < 1.0:
             raise ValueError("dynamic resize serving is upscale-only "
-                             "(anti-aliased downscale inflates support)")
+                             "(anti-aliased downscale inflates support; "
+                             "use create_any)")
         idx_x, dis_x = _resize_serving_axis(in_sz[0], out[0], scale[0],
                                             support)
         idx_y, dis_y = _resize_serving_axis(in_sz[1], out[1], scale[1],
                                             support)
         return cls(in_sz=in_sz, out_sz=out, support=support,
                    idx_x=idx_x, idx_y=idx_y, dis_x=dis_x, dis_y=dis_y)
+
+    @classmethod
+    def create_any(cls, in_sz: Sequence[int], scale_factors=None,
+                   out_sz=None, support: int = 2, sup_cap: int = 64):
+        """Any-scale operands: upscales via :meth:`create`; downscale (or
+        mixed) axes via the anti-aliased support-bucket frame."""
+        in_sz = tuple(int(s) for s in in_sz)
+        scale, out = resolve_scale_and_out_sz(in_sz, scale_factors, out_sz)
+        if support != 2:
+            raise ValueError("dynamic resize serving is support-2 only")
+        if scale[0] >= 1.0 and scale[1] >= 1.0:
+            return cls.create(in_sz, out_sz=out, support=support)
+        # the reference inflates support GLOBALLY by the min axis scale and
+        # evaluates kernels at min_scale-scaled distances on BOTH axes
+        # (resize_right2d_numpy.py:52-55,186-193)
+        m = min(scale)
+        sup_true = ceil(support / m)
+        bucket = support_bucket(sup_true, floor=2 * support, cap=sup_cap)
+        pad = bucket // 2 + 1
+        idx_x, dis_x, wm_x = _resize_serving_axis_aa(
+            in_sz[0], out[0], scale[0], sup_true, bucket, pad)
+        idx_y, dis_y, wm_y = _resize_serving_axis_aa(
+            in_sz[1], out[1], scale[1], sup_true, bucket, pad)
+        return cls(in_sz=in_sz, out_sz=out, support=bucket,
+                   idx_x=idx_x, idx_y=idx_y, dis_x=dis_x, dis_y=dis_y,
+                   pad=pad, aa_scale=m, wmask_x=wm_x, wmask_y=wm_y)
 
     def for_bucket(self, in_bucket: Sequence[int], out_bucket: Sequence[int]):
         """Re-express the operands for bucket-shaped program frames — fully
@@ -219,6 +316,11 @@ class ResizeOperands:
         program key becomes ``(in_bucket, out_bucket)`` — independent of
         the image shape, the output shape, and the scale.
         """
+        if self.aa_scale < 1.0:
+            # the ±1-frame zero-mask/re-clamp argument above is specific
+            # to the upscale form; AA requests serve granularity-0
+            # (pipeline._dyn_resize_host forces it)
+            raise ValueError("bucketed frames are upscale-only")
         hb, wb = (int(v) for v in in_bucket)
         ohb, owb = (int(v) for v in out_bucket)
         if (hb < self.in_sz[0] or wb < self.in_sz[1]

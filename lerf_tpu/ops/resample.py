@@ -903,12 +903,16 @@ class ResizeRings(NamedTuple):
     ONE compiled resize program serves every ``(scale_h, scale_w)`` at a
     shape pair — the SR analog of :class:`WarpRings`, but per-axis (resize
     is separable) so the operands are O(outH + outW), not O(outH·outW)."""
-    idx_x: jnp.ndarray           # [outH] int32 — left row into ±1-padded plane
+    idx_x: jnp.ndarray           # [outH] int32 — left row into ±pad plane
     idx_y: jnp.ndarray           # [outW] int32
     dis_x: jnp.ndarray           # [outH, S] weight dtype
     dis_y: jnp.ndarray           # [outW, S]
     masks_x: Optional[tuple] = None   # (neg [outH,S], pos [outH,S]) — linear
     masks_y: Optional[tuple] = None
+    # anti-aliased (downscale) envelope only (ResizeOperands.create_any):
+    aa: Optional[jnp.ndarray] = None       # 0-d weight-dtype min(scale)
+    wmask_x: Optional[jnp.ndarray] = None  # [outH, S] 0/1 — gaussian form
+    wmask_y: Optional[jnp.ndarray] = None
 
 
 def resize_rings(operands, *, linear: bool = False, dtype=np.float32):
@@ -918,12 +922,29 @@ def resize_rings(operands, *, linear: bool = False, dtype=np.float32):
     static path's trace-time casts: distances cast as ``_dis_broadcast``
     does, and the amplified-linear branch masks — which MUST be evaluated
     in float64 (:func:`_branch_masks`) — precomputed and shipped as data.
+
+    Anti-aliased operands (``aa_scale < 1``) mirror the static AA paths'
+    dtype discipline exactly: the LINEAR form scales distances by
+    ``min_scale`` in float64 on the host and takes branch masks from the
+    scaled values (amplified_linear_resize, the ``m64 *`` lines); the
+    GAUSSIAN form ships unscaled distances and performs the
+    ``min_scale``-multiply in the weight dtype inside the program
+    (steering_gaussian_resize's ``m * dx``), with the bucket's weight
+    masks shipped alongside.
     """
-    mx = _branch_masks(operands.dis_x) if linear else None
-    my = _branch_masks(operands.dis_y) if linear else None
-    return ResizeRings(operands.idx_x, operands.idx_y,
-                       operands.dis_x.astype(dtype),
-                       operands.dis_y.astype(dtype), mx, my)
+    aa = operands.aa_scale < 1.0
+    dis_x, dis_y = operands.dis_x, operands.dis_y
+    if linear and aa:
+        dis_x = operands.aa_scale * dis_x       # float64, like the static m64
+        dis_y = operands.aa_scale * dis_y
+    mx = _branch_masks(dis_x) if linear else None
+    my = _branch_masks(dis_y) if linear else None
+    return ResizeRings(
+        operands.idx_x, operands.idx_y,
+        dis_x.astype(dtype), dis_y.astype(dtype), mx, my,
+        aa=np.asarray(operands.aa_scale, dtype) if aa else None,
+        wmask_x=None if (linear or not aa) else operands.wmask_x,
+        wmask_y=None if (linear or not aa) else operands.wmask_y)
 
 
 def _rings_resize_gather(p, rings: ResizeRings, support: int):
@@ -933,7 +954,12 @@ def _rings_resize_gather(p, rings: ResizeRings, support: int):
     ``s·outH + i``), so :func:`_block_sums` applies unchanged."""
     row = jnp.concatenate([rings.idx_x + s for s in range(support)])
     col = jnp.concatenate([rings.idx_y + t for t in range(support)])
-    return jnp.take(jnp.take(p, row, axis=-2), col, axis=-1)
+    # clip, not the jnp.take default NaN-fill: active slots are validated
+    # in-frame by the operand builders, but an AA support-bucket's
+    # INACTIVE slots (weight-masked to zero) may index past the ±pad plane
+    # — a NaN fill there would poison the weighted sum (0·NaN)
+    return jnp.take(jnp.take(p, row, axis=-2, mode="clip"), col, axis=-1,
+                    mode="clip")
 
 
 def _rings_dis_broadcast(rings: ResizeRings, dtype):
@@ -947,12 +973,17 @@ def _rings_dis_broadcast(rings: ResizeRings, dtype):
 def steering_gaussian_resize_rings(img, rho, sigma_x, sigma_y,
                                    rings: ResizeRings, *,
                                    max_sigma: float = 10.0,
-                                   pad_mode: str = "constant"):
+                                   pad_mode: str = "constant",
+                                   pad: int = 1):
     """Dynamic-scale steering resize: bit-identical to
-    :func:`steering_gaussian_resize` (upscale, support 2) with every
-    scale-dependent array a traced input — build ``rings`` per scale on the
-    host (``ResizeOperands.create`` + :func:`resize_rings`) and reuse one
-    jitted program across scales (tests/test_dynamic_resize.py).
+    :func:`steering_gaussian_resize` with every scale-dependent array a
+    traced input — build ``rings`` per scale on the host
+    (``ResizeOperands.create``/``create_any`` + :func:`resize_rings`) and
+    reuse one jitted program across scales (tests/test_dynamic_resize.py).
+    ``pad`` is the operands' fixed frame pad (1 for the upscale form;
+    ``support/2 + 1`` for the anti-aliased downscale form, where
+    ``rings.aa`` carries the traced kernel scale and ``rings.wmask_*``
+    zero the support bucket's inactive slots).
 
     Matches the reference serving semantics at
     eval_lut_sr.py:644-661 (per-image/scale host ``set_shape``).
@@ -960,12 +991,23 @@ def steering_gaussian_resize_rings(img, rho, sigma_x, sigma_y,
     S = rings.dis_x.shape[1]
     rho, sigma_x, sigma_y = decode_gaussian_hyper(rho, sigma_x, sigma_y,
                                                   max_sigma)
-    xp = pad2d(img, (1, 1), (1, 1), pad_mode)
+    xp = pad2d(img, (pad, pad), (pad, pad), pad_mode)
     f_rho, f_sx, f_sy = (
-        _rings_resize_gather(pad2d(h, (1, 1), (1, 1), "edge"), rings, S)
+        _rings_resize_gather(pad2d(h, (pad, pad), (pad, pad), "edge"),
+                             rings, S)
         for h in (rho, sigma_x, sigma_y))
     dx, dy = _rings_dis_broadcast(rings, img.dtype)
-    weights = steering_gaussian_weight(f_rho, f_sx, f_sy, dx, dy)
+    if rings.aa is not None:
+        # static AA graph order (steering_gaussian_resize): kernel at
+        # m-scaled distances, then the outer m multiply; inactive bucket
+        # slots zeroed by the weight masks (1.0 on true slots — exact)
+        m = rings.aa.astype(img.dtype)
+        wx = rings.wmask_x.T.reshape(-1)[:, None]
+        wy = rings.wmask_y.T.reshape(-1)[None, :]
+        weights = m * (steering_gaussian_weight(
+            f_rho, f_sx, f_sy, m * dx, m * dy) * wx * wy)
+    else:
+        weights = steering_gaussian_weight(f_rho, f_sx, f_sy, dx, dy)
     neighbors = _rings_resize_gather(xp, rings, S)
     wn, ws = _block_sums(weights, neighbors, S)
     return wn / ws
@@ -973,19 +1015,25 @@ def steering_gaussian_resize_rings(img, rho, sigma_x, sigma_y,
 
 def amplified_linear_resize_rings(img, alpha, rings: ResizeRings, *,
                                   max_alpha: float = 1.0,
-                                  pad_mode: str = "constant"):
+                                  pad_mode: str = "constant",
+                                  pad: int = 1):
     """Dynamic-scale amplified-linear resize — rings counterpart of
     :func:`amplified_linear_resize` (build ``rings`` with ``linear=True``
-    so the float64 branch masks ride along)."""
+    so the float64 branch masks ride along; for the anti-aliased form the
+    distances arrive pre-scaled in float64 and the masks already zero the
+    bucket's inactive slots, so only the outer ``min_scale`` multiply is
+    traced)."""
     S = rings.dis_x.shape[1]
     alpha = decode_linear_hyper(alpha, max_alpha)
-    xp = pad2d(img, (1, 1), (1, 1), pad_mode)
-    f_alpha = _rings_resize_gather(pad2d(alpha, (1, 1), (1, 1), "edge"),
-                                   rings, S)
+    xp = pad2d(img, (pad, pad), (pad, pad), pad_mode)
+    f_alpha = _rings_resize_gather(
+        pad2d(alpha, (pad, pad), (pad, pad), "edge"), rings, S)
     dx, dy = _rings_dis_broadcast(rings, img.dtype)
     masks_x = tuple(m.T.reshape(-1)[:, None] for m in rings.masks_x)
     masks_y = tuple(m.T.reshape(-1)[None, :] for m in rings.masks_y)
     weights = amplified_linear_weight(f_alpha, dx, dy, masks_x, masks_y)
+    if rings.aa is not None:
+        weights = rings.aa.astype(img.dtype) * weights
     neighbors = _rings_resize_gather(xp, rings, S)
     wn, ws = _block_sums(weights, neighbors, S)
     return wn / ws

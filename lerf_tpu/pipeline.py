@@ -151,17 +151,28 @@ def _dyn_resize_host(img_hwc, scale_h, scale_w, granularity, supp_size,
     """Host prep shared by the ``upscale_dynamic`` entry points.
 
     Returns ``(rings, program_key, image, out_sz)`` — where ``program_key``
-    is ``(in_sz, out_sz)`` (granularity 0) or
+    is ``(in_sz, out_sz, pad)`` (granularity 0) or
     ``("bucket", in_bucket, out_bucket)`` with ``image`` edge-padded to the
     in-bucket — or ``None`` when the request is outside the dynamic serving
-    envelope (support ≠ 2, a downscaling axis, or the scale-1 skip path) and
-    the caller must use the exact per-shape path."""
+    envelope (support ≠ 2, downscale beyond the 1/32 support cap, or the
+    scale-1 skip path) and the caller must use the exact per-shape path.
+
+    Downscale (or mixed) axes serve through the anti-aliased support-bucket
+    operands (``ResizeOperands.create_any``) — one program per
+    ``(in_sz, out_sz, support bucket)``, any scale; the shape-bucket
+    (granularity) form is upscale-only, so AA requests ignore
+    ``granularity`` (still recompile-free across scales/matrices at a
+    shape pair)."""
     sh, sw = float(scale_h), float(scale_w)
     if supp_size != 2 or (sh == 1.0 and sw == 1.0):
         return None
     in_sz = img_hwc.shape[:2]
     try:
-        ops_ = ResizeOperands.create(in_sz, scale_factors=[sh, sw])
+        if sh >= 1.0 and sw >= 1.0:
+            ops_ = ResizeOperands.create(in_sz, scale_factors=[sh, sw])
+        else:
+            ops_ = ResizeOperands.create_any(in_sz, scale_factors=[sh, sw])
+            granularity = 0
     except ValueError:
         return None
     out_sz = ops_.out_sz
@@ -176,7 +187,7 @@ def _dyn_resize_host(img_hwc, scale_h, scale_w, granularity, supp_size,
                                   (0, 0)), mode="edge")
         return rings, ("bucket", (hb, wb), (ohb, owb)), padded, out_sz
     rings = resize_rings(ops_, linear=linear)
-    return rings, (in_sz, out_sz), img_hwc, out_sz
+    return rings, (in_sz, out_sz, ops_.pad), img_hwc, out_sz
 
 
 class NetPredictor:
@@ -469,23 +480,24 @@ class NetPredictor:
         out_u8 = _quantize_host(out, self.norm).transpose(1, 2, 0)
         return out_u8[:int(round(h * sh)), :int(round(w * sw))]
 
-    def _resample_rings(self, feat, hyper, rings):
+    def _resample_rings(self, feat, hyper, rings, pad=1):
         """Shared rings-resize dispatch for the net forms (float stage
         outputs, hyper layout [C,H,W,oC] — see :meth:`_resize_fn`)."""
         if self.linear:
-            return amplified_linear_resize_rings(feat, hyper[..., 0], rings)
+            return amplified_linear_resize_rings(feat, hyper[..., 0], rings,
+                                                 pad=pad)
         return steering_gaussian_resize_rings(
             feat, hyper[..., 0], hyper[..., 1], hyper[..., 2], rings,
-            max_sigma=self.max_sigma)
+            max_sigma=self.max_sigma, pad=pad)
 
-    def _resize_dyn_fn(self, in_sz, out_sz):
-        key = (in_sz, out_sz)
+    def _resize_dyn_fn(self, in_sz, out_sz, pad=1):
+        key = (in_sz, out_sz, pad)
         if key not in self._resize_dyn_cache:
 
             @jax.jit
             def run(img_f, rings):
                 feat, hyper = self._stages(img_f)
-                out = self._resample_rings(feat, hyper, rings)
+                out = self._resample_rings(feat, hyper, rings, pad=pad)
                 return _quantize_device(out, self.norm)
 
             self._resize_dyn_cache[key] = run
@@ -1002,26 +1014,28 @@ class LutPredictor:
 
     # -- dynamic-scale serving ------------------------------------------------
 
-    def _resample_rings(self, feat, hyper, rings):
+    def _resample_rings(self, feat, hyper, rings, pad=1):
         """Shared rings-resize dispatch: decode the LUT stage outputs like
         the static path (:meth:`_resize_fn`) and resample with traced
         geometry."""
         featf = feat.astype(jnp.float32)
         if self.linear:
             alpha = hyper[..., 0].astype(jnp.float32) / self.norm
-            return amplified_linear_resize_rings(featf, alpha, rings)
+            return amplified_linear_resize_rings(featf, alpha, rings,
+                                                 pad=pad)
         rho, sx, sy = split_gaussian_hyper(hyper, self.norm)
         return steering_gaussian_resize_rings(featf, rho, sx, sy, rings,
-                                              max_sigma=self.max_sigma)
+                                              max_sigma=self.max_sigma,
+                                              pad=pad)
 
-    def _resize_dyn_fn(self, in_sz, out_sz):
-        key = (in_sz, out_sz)
+    def _resize_dyn_fn(self, in_sz, out_sz, pad=1):
+        key = (in_sz, out_sz, pad)
         if key not in self._resize_dyn_cache:
 
             @jax.jit
             def run(img_i32, rings):
                 feat, hyper = self._stages_fn(img_i32)
-                out = self._resample_rings(feat, hyper, rings)
+                out = self._resample_rings(feat, hyper, rings, pad=pad)
                 return _quantize_device(out, self.norm)
 
             self._resize_dyn_cache[key] = run
@@ -1066,11 +1080,13 @@ class LutPredictor:
           and any scale.
 
         Both modes are bit-identical to :meth:`upscale`
-        (tests/test_dynamic_resize.py).  Upscaling only (the SR deploy
-        envelope — anti-aliased downscale inflates the support and keeps
-        the per-shape path); falls back to :meth:`upscale` outside it.
-        Match: the reference's per-image host ``set_shape`` serving
-        (eval_lut_sr.py:644-661).
+        (tests/test_dynamic_resize.py).  Downscales serve through the
+        anti-aliased support-bucket envelope (``ResizeOperands.create_any``,
+        reference AA semantics resize_right2d_numpy.py:52-55,186-193) down
+        to scale 1/32; only the scale-1 skip and beyond-cap downscales
+        fall back to :meth:`upscale`.  Match: the reference's per-image
+        host ``set_shape`` serving (eval_lut_sr.py:644-661), which serves
+        ANY scale the same way.
         """
         return self.upscale_dynamic_async(img_hwc, scale_h, scale_w,
                                           granularity).result()

@@ -1,9 +1,10 @@
 """Dynamic-scale SR serving (pipeline.upscale_dynamic /
 ops.resample.*_resize_rings): the per-axis scale geometry becomes traced
-data over a fixed ±1 pad, so ONE compiled program serves ANY
+data over a fixed ±pad frame, so ONE compiled program serves ANY
 (scale_h, scale_w) at a given shape frame — and must be bit-identical to
 the per-scale jitted path, including non-periodic scales (period > 32)
-that fall off the gather-free slab path entirely."""
+that fall off the gather-free slab path entirely, and anti-aliased
+downscales through the support-bucket envelope."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -50,6 +51,60 @@ def test_operands_reject_downscale_and_support():
         ResizeOperands.create(IN_SZ, scale_factors=[0.5, 2.0])
     with pytest.raises(ValueError):
         ResizeOperands.create(IN_SZ, scale_factors=[2.0, 2.0], support=4)
+
+
+# anti-aliased downscale envelope: pure, fractional, mixed up/down, and a
+# deep downscale that crosses into a larger support bucket
+AA_SCALES = [(0.5, 0.5), (0.71, 0.71), (0.5, 2.0), (1.5, 0.33),
+             (0.21, 0.21)]
+
+
+def test_operands_create_any_downscale():
+    """create_any: upscales route to the exact ±1 form; downscales get the
+    support-bucket AA frame (support = next pow2 ≥ ceil(2/min_scale),
+    pad = support/2 + 1, weight masks zeroing the inactive slots)."""
+    up = ResizeOperands.create_any((40, 56), scale_factors=[2.0, 1.5])
+    assert up.support == 2 and up.pad == 1 and up.aa_scale == 1.0
+
+    ops_ = ResizeOperands.create_any((40, 56), scale_factors=[0.5, 2.0])
+    # min scale 0.5 → true support ceil(2/0.5)=4 on BOTH axes (the
+    # reference inflates globally, resize_right2d_numpy.py:52-55), floor
+    # bucket 4, pad 3
+    assert ops_.support == 4 and ops_.pad == 3 and ops_.aa_scale == 0.5
+    assert ops_.wmask_x.shape == (20, 4) and ops_.wmask_x.min() == 1.0
+    deep = ResizeOperands.create_any((64, 64), scale_factors=[0.21, 0.21])
+    # ceil(2/0.21)=10 → bucket 16; 6 inactive slots masked off
+    assert deep.support == 16 and deep.pad == 9
+    assert (deep.wmask_x[0] == [1] * 10 + [0] * 6).all()
+    # beyond the 1/32 cap: no dynamic form
+    with pytest.raises(ValueError):
+        ResizeOperands.create_any((256, 256), scale_factors=[0.01, 0.01])
+
+
+def test_rings_ops_aa_bit_equal():
+    """Anti-aliased rings programs must be bit-identical to the per-shape
+    static AA path — gaussian and amplified-linear forms."""
+    rng = np.random.RandomState(2)
+    img = rng.rand(3, 40, 56).astype(np.float32) * 255.0
+    hyp = [rng.rand(3, 40, 56).astype(np.float32) for _ in range(3)]
+    alpha = rng.rand(3, 40, 56).astype(np.float32)
+    for scale in AA_SCALES:
+        geom = ResizeGeometry.create((40, 56), scale_factors=list(scale),
+                                     support=2)
+        ops_ = ResizeOperands.create_any((40, 56),
+                                         scale_factors=list(scale))
+        want = steering_gaussian_resize(jnp.asarray(img),
+                                        *map(jnp.asarray, hyp), geom)
+        got = steering_gaussian_resize_rings(
+            jnp.asarray(img), *map(jnp.asarray, hyp), resize_rings(ops_),
+            pad=ops_.pad)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+        want_l = amplified_linear_resize(jnp.asarray(img),
+                                         jnp.asarray(alpha), geom)
+        got_l = amplified_linear_resize_rings(
+            jnp.asarray(img), jnp.asarray(alpha),
+            resize_rings(ops_, linear=True), pad=ops_.pad)
+        np.testing.assert_array_equal(np.asarray(want_l), np.asarray(got_l))
 
 
 def test_rings_ops_bit_equal_across_scales():
@@ -184,9 +239,52 @@ def test_net_upscale_dynamic_bucketed():
     assert diff.max() <= 1 and (diff != 0).mean() < 1e-2
 
 
+def test_lut_upscale_dynamic_downscale_aa():
+    """Anti-aliased downscales serve through the dynamic path bit-exactly —
+    gaussian and linear LUT forms, mixed axes included (VERDICT r3 item 4;
+    reference AA semantics resize_right2d_numpy.py:52-55,186-193)."""
+    rng = np.random.RandomState(14)
+    img = rng.randint(0, 256, (40, 56, 3), dtype=np.uint8)
+    pred = _lut_predictor()
+    for s in [(0.5, 0.5), (0.71, 0.71), (0.5, 2.0), (1.5, 0.33)]:
+        want = pred.upscale(img, *s)
+        got = pred.upscale_dynamic(img, *s)
+        np.testing.assert_array_equal(want, got)
+    predl = _lut_predictor(linear=True)
+    for s in [(0.5, 0.5), (0.71, 0.71)]:
+        want = predl.upscale(img, *s)
+        got = predl.upscale_dynamic(img, *s)
+        np.testing.assert_array_equal(want, got)
+
+
+def test_lut_upscale_dynamic_downscale_one_program():
+    """Downscales sharing (in_sz, out_sz, support bucket) share ONE
+    compiled program (0.3 and 0.29 both produce 12×17 at 40×56 within the
+    support-8 bucket)."""
+    pred = _lut_predictor()
+    rng = np.random.RandomState(15)
+    img = rng.randint(0, 256, (40, 56, 3), dtype=np.uint8)
+    for s in [(0.3, 0.3), (0.29, 0.29)]:
+        want = pred.upscale(img, *s)
+        got = pred.upscale_dynamic(img, *s)
+        np.testing.assert_array_equal(want, got)
+    assert len(pred._resize_dyn_cache) == 1
+
+
+def test_net_upscale_dynamic_downscale():
+    params = srnet.init_lerf_nets(jax.random.PRNGKey(3), nf=8, out_c=3)
+    pred = NetPredictor.from_srnets(params)
+    rng = np.random.RandomState(16)
+    img = rng.randint(0, 256, (40, 56, 3), dtype=np.uint8)
+    for s in [(0.5, 0.5), (0.71, 0.71)]:
+        want = pred.upscale(img, *s)
+        got = pred.upscale_dynamic(img, *s)
+        np.testing.assert_array_equal(want, got)
+
+
 def test_upscale_dynamic_fallback_outside_envelope(monkeypatch):
-    """Downscales (anti-alias inflates support) and scale-1 skips must fall
-    back to the exact per-shape path."""
+    """Scale-1 skips and beyond-cap downscales (support > 64, i.e. scale
+    < 1/32) must fall back to the exact per-shape path."""
     pred = _lut_predictor()
     called = []
 
@@ -195,8 +293,8 @@ def test_upscale_dynamic_fallback_outside_envelope(monkeypatch):
         return "out"
 
     monkeypatch.setattr(pred, "upscale", fake_upscale)
-    img = np.zeros((8, 8, 3), np.uint8)
-    assert pred.upscale_dynamic(img, 0.5, 2.0) == "out"
+    img = np.zeros((256, 256, 3), np.uint8)
+    assert pred.upscale_dynamic(img, 0.01, 0.01) == "out"
     assert pred.upscale_dynamic(img, 1.0, 1.0) == "out"
-    assert called == [(0.5, 2.0), (1.0, 1.0)]
+    assert called == [(0.01, 0.01), (1.0, 1.0)]
     assert not pred._resize_dyn_cache

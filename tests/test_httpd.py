@@ -75,6 +75,17 @@ def test_upscale_npy_bit_exact(served):
     np.testing.assert_array_equal(got, pred.upscale_dynamic(img, 1.5, 2.0))
 
 
+def test_upscale_downscale_aa(served):
+    """Anti-aliased downscales serve through the same daemon programs
+    (round-4 support-bucket envelope), bit-exact to the in-process
+    predictor."""
+    pred, base = served
+    img = np.random.RandomState(22).randint(
+        0, 256, (*IN_SZ, 3), dtype=np.uint8)
+    resp, got = _post_npy(base + "/v1/upscale?scale=0.5", img)
+    np.testing.assert_array_equal(got, pred.upscale_dynamic(img, 0.5, 0.5))
+
+
 def test_upscale_png_round_trip(served):
     from PIL import Image
 
