@@ -124,8 +124,13 @@ def bench_lut_sr_rings(s1, s2, h, w, scale):
         split_gaussian_hyper, steering_gaussian_resize_rings,
     )
 
-    ops_ = ResizeOperands.create((h, w), scale_factors=[scale, scale])
+    if scale >= 1.0:
+        ops_ = ResizeOperands.create((h, w), scale_factors=[scale, scale])
+    else:
+        # anti-aliased downscale: support-bucket serving envelope
+        ops_ = ResizeOperands.create_any((h, w), scale_factors=[scale, scale])
     rings = jax.device_put(resize_rings(ops_))
+    pad = ops_.pad
 
     @jax.jit
     def pipeline(img_i32):
@@ -133,8 +138,11 @@ def bench_lut_sr_rings(s1, s2, h, w, scale):
         hyper = lut_stage2(feat, s2, MODES)
         rho, sx, sy = split_gaussian_hyper(hyper)
         out = steering_gaussian_resize_rings(
-            feat.astype(jnp.float32), rho, sx, sy, rings, max_sigma=10.0)
-        return jnp.clip(jnp.round(out[:, :h, :w]), 0, 255).astype(jnp.int32)
+            feat.astype(jnp.float32), rho, sx, sy, rings, max_sigma=10.0,
+            pad=pad)
+        oh = min(h, ops_.out_sz[0])
+        ow = min(w, ops_.out_sz[1])
+        return jnp.clip(jnp.round(out[:, :oh, :ow]), 0, 255).astype(jnp.int32)
 
     dt = chain_time(pipeline, rand_img(h, w))
     return ops_.out_sz[0] * ops_.out_sz[1] / 1e6 / dt
@@ -614,6 +622,14 @@ def main(argv=None):
              unit=f"ms_across_{nscales}_scales_bucket_programs")
         emit("lerf_g_lut_warp_x4_batch4_distinct_matrices_throughput",
              bench_warp_batch(LR_H, LR_W), REF_NUMPY_WARP_MPS)
+        # 4K-class dynamic points (720×1280 in, ×3.55 → 2556×4544 out) and
+        # the anti-aliased downscale serving form (1440p in, ×0.5)
+        emit("lerf_g_lut_sr_4k_x3.55_gather_throughput",
+             bench_lut_sr(s1, s2, 720, 1280, scale=3.55), REF_NUMPY_MPS)
+        emit("lerf_g_lut_sr_4k_x3.55_rings_throughput",
+             bench_lut_sr_rings(s1, s2, 720, 1280, 3.55), REF_NUMPY_MPS)
+        emit("lerf_g_lut_sr_x0.5_aa_rings_throughput",
+             bench_lut_sr_rings(s1, s2, 1440, 2560, 0.5), REF_NUMPY_MPS)
 
 
 if __name__ == "__main__":
