@@ -14,16 +14,41 @@ import os
 from typing import Optional
 
 
+def _host_fingerprint() -> str:
+    """Short hash of this host's CPU feature flags.
+
+    XLA:CPU AOT cache entries embed the compile machine's feature set and
+    are REJECTED at load time on a host with different features — and a
+    rejected key is never overwritten, so after a VM migration a shared
+    cache dir is permanently poisoned (every run pays full recompiles
+    while logging cpu_aot_loader feature-mismatch errors).  Keying the
+    directory by the feature flags gives each host generation its own
+    cache instead."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "nofp"
+
+
 def enable_jit_cache():
     """Enable the persistent XLA compilation cache (one shared definition
     for the CLIs, bench.py, and the test suite).  ``LERF_JIT_CACHE``
     overrides the location; set it empty to disable."""
     import jax
-    cache = os.environ.get("LERF_JIT_CACHE",
-                           os.path.expanduser("~/.cache/jax_comp"))
+    cache = os.environ.get(
+        "LERF_JIT_CACHE",
+        os.path.expanduser(f"~/.cache/jax_comp_{_host_fingerprint()}"))
     if cache:
         jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Persist sub-second compiles too: the test suite is ~250 tests
+        # whose many small executables otherwise recompile every session.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 @dataclasses.dataclass

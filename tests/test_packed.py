@@ -52,8 +52,32 @@ def test_packed_ensemble_bit_exact(modes, split_r, oc):
     np.testing.assert_array_equal(got, want)
 
 
+def test_packed_ensemble_interval5_bit_exact():
+    """Packed tables honor a non-default --interval (fast tier: L=9, q=32;
+    the large-L direction is covered by the slow interval-3 test)."""
+    interval, oc = 5, 3
+    L = (1 << (8 - interval)) + 1
+    rng = RNG(11)
+    luts = {f"{m}r{r}": jnp.asarray(
+        rng.randint(-127, 128, (L ** 4, oc)).astype(np.int32))
+        for m in ("s", "c") for r in (0, 1)}
+    packed = build_packed_tables(luts, ("s", "c"), split_r=True,
+                                 interval=interval)
+    img = jnp.asarray(RNG(12).randint(0, 256, (2, 8, 10)).astype(np.int32))
+    want = np.asarray(lut_ensemble(img, luts, ("s", "c"), split_r=True,
+                                   interval=interval))
+    got = np.asarray(lut_ensemble(img, packed, ("s", "c"), split_r=True,
+                                  interval=interval))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
 def test_packed_ensemble_interval3_bit_exact():
-    """Packed tables honor a non-default --interval (L=33, q=8)."""
+    """Packed tables honor a non-default --interval (L=33, q=8).
+
+    Slow tier: building the 33⁴-cell packed tables is ~2 min of host
+    memory traffic on this VM; the fast tier covers the same code path
+    with interval=5 (L=9) above."""
     interval, oc = 3, 3
     L = (1 << (8 - interval)) + 1
     rng = RNG(11)
@@ -107,19 +131,31 @@ def test_banded_stages_bit_exact():
 
     rng = np.random.RandomState(3)
     L4 = 17 ** 4
-    modes = ("s", "c", "t")
+    # "s" (1 rotation group) + "c" (2 groups) cover both grouping shapes;
+    # "t" duplicates "c"'s structure and only adds runtime here.
+    modes = ("s", "c")
     s1 = build_packed_tables(
         {m: rng.randint(-127, 128, (L4, 1)).astype(np.int8) for m in modes},
         modes)
     s2 = build_packed_tables(
         {f"{m}r{r}": rng.randint(-127, 128, (L4, 3)).astype(np.int8)
          for m in modes for r in (0, 1)}, modes, split_r=True)
-    img = jnp.asarray(rng.randint(0, 256, (3, 23, 31)).astype(np.int32))
+    # 14 rows: 5-row bands are a non-divisor split (5+5+4) and 2-row bands
+    # exercise the halo-clamp at both borders; 1-row extreme adds nothing
+    # beyond runtime (each band is a full eager ensemble eval).
+    img = jnp.asarray(rng.randint(0, 256, (1, 14, 19)).astype(np.int32))
 
-    for bt in (31 * 3 * 4, 31 * 3):     # 4-row (non-divisor) and 1-row bands
-        f_ref = lut_stage1(img, s1, modes, band_target=10 ** 9)
-        f_got = lut_stage1(img, s1, modes, band_target=bt)
+    import jax
+
+    # jit per band_target: the Python band loop unrolls into one traced
+    # graph (exactly how the production predictors run it), so the warm
+    # persistent cache makes this test compile-free.
+    def stages(x, bt):
+        f = lut_stage1(x, s1, modes, band_target=bt)
+        return f, lut_stage2(f, s2, modes, band_target=bt)
+
+    f_ref, h_ref = jax.jit(lambda x: stages(x, 10 ** 9))(img)
+    for bt in (19 * 5, 19 * 2):     # 5-row (non-divisor) and 2-row bands
+        f_got, h_got = jax.jit(lambda x, b=bt: stages(x, b))(img)
         np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(f_got))
-        h_ref = lut_stage2(f_ref, s2, modes, band_target=10 ** 9)
-        h_got = lut_stage2(f_ref, s2, modes, band_target=bt)
         np.testing.assert_array_equal(np.asarray(h_ref), np.asarray(h_got))

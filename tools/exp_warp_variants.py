@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+from lerf_tpu.config import enable_jit_cache; enable_jit_cache()
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from lerf_tpu.ops import WarpGeometry, steering_gaussian_warp
