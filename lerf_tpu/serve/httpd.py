@@ -25,6 +25,15 @@ Endpoints
         eval-driver convention, eval_lut_warp.py:197-233) with header
         ``X-Lerf-Mask-Coverage``; ``format=npz`` returns the raw
         ``{out, mask}`` pair instead.
+  POST /v1/upscale_batch?scale=S
+      body: application/x-npy uint8 [B, H, W, 3]
+      → application/x-npy uint8 [B, oH, oW, 3]; bit-exact to
+        ``upscale_batch`` (one device program for the whole batch —
+        the small-frame amortization path, BASELINE "batched warp").
+  POST /v1/warp_batch?outSize=HxW
+      body: application/x-npz with ``imgs`` uint8 [B, H, W, 3] and
+      ``matrices`` float64 [B, 3, 3] (or one [3, 3] broadcast to all)
+      → application/x-npz ``{out, mask}`` from ``warp_batch``.
 
 Concurrency: requests decode/encode in their own threads
 (``ThreadingHTTPServer``); device work is funneled through the async
@@ -190,12 +199,18 @@ def _build_handler(state: _State):
             url = urlparse(self.path)
             q = {k: v[-1] for k, v in parse_qs(url.query).items()}
             try:
-                img, as_npy = _decode_image(
-                    self._read_body(), self.headers.get("Content-Type", ""))
-                if url.path == "/v1/upscale":
-                    self._upscale(img, as_npy, q)
-                elif url.path == "/v1/warp":
-                    self._warp(img, as_npy, q)
+                if url.path == "/v1/upscale_batch":
+                    self._upscale_batch(self._read_body(), q)
+                elif url.path == "/v1/warp_batch":
+                    self._warp_batch(self._read_body(), q)
+                elif url.path in ("/v1/upscale", "/v1/warp"):
+                    img, as_npy = _decode_image(
+                        self._read_body(),
+                        self.headers.get("Content-Type", ""))
+                    if url.path == "/v1/upscale":
+                        self._upscale(img, as_npy, q)
+                    else:
+                        self._warp(img, as_npy, q)
                 else:
                     self._send_json(404, {"error": f"no route {url.path}"})
                     return
@@ -263,6 +278,47 @@ def _build_handler(state: _State):
             self._send(200, payload,
                        "application/x-npy" if as_npy else "image/png",
                        extra=(("X-Lerf-Mask-Coverage", f"{cov:.6f}"),))
+
+        def _upscale_batch(self, body, q):
+            imgs = np.load(io.BytesIO(body), allow_pickle=False)
+            if imgs.dtype != np.uint8 or imgs.ndim != 4 \
+                    or imgs.shape[-1] != 3:
+                raise ValueError(
+                    f"npy body must be uint8 [B, H, W, 3], got "
+                    f"{imgs.dtype} {imgs.shape}")
+            sh, sw = _parse_scale(q.get("scale", "4"))
+            t0 = time.perf_counter()
+            # upscale_batch is synchronous (one program for the whole
+            # batch); hold the dispatch lock across it — the batch IS the
+            # amortization, there is no per-frame overlap to exploit
+            with state.inflight, state.dispatch_lock:
+                out = state.pred.upscale_batch(imgs, sh, sw)
+            state.record(total_s=time.perf_counter() - t0)
+            self._send(200, _npy_bytes(out), "application/x-npy")
+
+        def _warp_batch(self, body, q):
+            with np.load(io.BytesIO(body), allow_pickle=False) as z:
+                if "imgs" not in z or "matrices" not in z:
+                    raise ValueError(
+                        "npz body must contain 'imgs' uint8 [B, H, W, 3] "
+                        "and 'matrices' float [B, 3, 3] (or [3, 3])")
+                imgs, matrices = z["imgs"], z["matrices"]
+            if imgs.dtype != np.uint8 or imgs.ndim != 4 \
+                    or imgs.shape[-1] != 3:
+                raise ValueError(
+                    f"'imgs' must be uint8 [B, H, W, 3], got "
+                    f"{imgs.dtype} {imgs.shape}")
+            try:
+                oh, ow = (int(v) for v in q["outSize"].split("x"))
+            except ValueError:
+                raise ValueError("outSize must be HxW, e.g. 512x512")
+            t0 = time.perf_counter()
+            with state.inflight, state.dispatch_lock:
+                out, mask = state.pred.warp_batch(imgs, matrices, (oh, ow))
+            state.record(total_s=time.perf_counter() - t0)
+            buf = io.BytesIO()
+            np.savez(buf, out=out, mask=np.asarray(mask))
+            self._send(200, buf.getvalue(), "application/x-npz")
 
     return Handler
 

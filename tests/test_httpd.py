@@ -342,6 +342,43 @@ def test_unexpected_error_500_keepalive_survives():
         server.shutdown()
 
 
+def test_upscale_batch_npy_bit_exact(served):
+    """The batched endpoint (one device program for the whole stack —
+    the small-frame amortization path) is bit-exact to upscale_batch."""
+    pred, base = served
+    imgs = np.random.RandomState(50).randint(
+        0, 256, (3, 24, 30, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    np.save(buf, imgs)
+    resp = _post(base + "/v1/upscale_batch?scale=2", buf.getvalue())
+    got = np.load(io.BytesIO(resp.read()), allow_pickle=False)
+    np.testing.assert_array_equal(got, pred.upscale_batch(imgs, 2, 2))
+    # wrong rank → 400
+    buf2 = io.BytesIO()
+    np.save(buf2, imgs[0])
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/upscale_batch?scale=2", buf2.getvalue())
+    assert ei.value.code == 400
+
+
+def test_warp_batch_npz_bit_exact(served):
+    """Per-frame homographies through the batched endpoint equal
+    warp_batch's {out, mask} pair."""
+    pred, base = served
+    rng = np.random.RandomState(51)
+    imgs = rng.randint(0, 256, (2, 24, 30, 3), dtype=np.uint8)
+    mats = np.stack([MAT, MAT + np.diag([0.05, -0.03, 0.0])])
+    buf = io.BytesIO()
+    np.savez(buf, imgs=imgs, matrices=mats)
+    resp = _post(base + "/v1/warp_batch?outSize=20x26", buf.getvalue(),
+                 ctype="application/x-npz")
+    with np.load(io.BytesIO(resp.read()), allow_pickle=False) as pack:
+        got_out, got_mask = pack["out"], pack["mask"]
+    want_out, want_mask = pred.warp_batch(imgs, mats, (20, 26))
+    np.testing.assert_array_equal(got_out, want_out)
+    np.testing.assert_array_equal(got_mask, np.asarray(want_mask))
+
+
 def test_serve_cli_builds_daemon(tmp_path):
     """The CLI wires config → predictor → server without serving forever."""
     from lerf_tpu.cli import serve as serve_cli
