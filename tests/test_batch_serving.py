@@ -96,11 +96,14 @@ def test_warp_batch_matches_single():
     bank = random_bank(seed=11)
     pred = LutPredictor(bank)
     rng = np.random.RandomState(12)
-    imgs = rng.randint(0, 256, (3, 14, 17, 3), dtype=np.uint8)
+    imgs = rng.randint(0, 256, (2, 14, 17, 3), dtype=np.uint8)
     out_hw = (20, 18)
-    outs, masks = pred.warp_batch(imgs, np.stack(WARP_MATS), out_hw)
-    assert outs.shape == (3, 20, 18, 3) and masks.shape == (3, 20, 18)
-    for b in range(3):
+    outs, masks = pred.warp_batch(imgs, np.stack(WARP_MATS[:2]), out_hw)
+    assert outs.shape == (2, 20, 18, 3) and masks.shape == (2, 20, 18)
+    # each distinct matrix costs a separate per-image program TRACE on the
+    # reference side of the comparison; two frames prove per-frame
+    # distinctness at 2/3 the cost of three
+    for b in range(2):
         w_out, w_mask = pred.warp(imgs[b], WARP_MATS[b], out_hw)
         np.testing.assert_array_equal(outs[b], w_out)
         np.testing.assert_array_equal(masks[b], w_mask)

@@ -159,12 +159,14 @@ def test_lut_upscale_dynamic_bit_exact_one_program():
     pred = _lut_predictor()
     rng = np.random.RandomState(8)
     img = rng.randint(0, 256, (21, 26, 3), dtype=np.uint8)
-    for s in [(2.0, 2.0), (1.97, 1.97), (1.99, 1.98)]:
+    # two scales prove the shared program; each extra scale re-traces the
+    # whole static path on the comparison side
+    for s in [(2.0, 2.0), (1.97, 1.97)]:
         want = pred.upscale(img, *s)
         got = pred.upscale_dynamic(img, *s)
         np.testing.assert_array_equal(want, got)
-    assert len(pred._resize_dyn_cache) == 1   # one program, three scales
-    assert len(pred._resize_cache) == 3       # vs one per scale
+    assert len(pred._resize_dyn_cache) == 1   # one program, two scales
+    assert len(pred._resize_cache) == 2       # vs one per scale
 
 
 def test_lut_upscale_dynamic_nonperiodic_scale():
@@ -188,7 +190,9 @@ def test_lut_upscale_dynamic_linear_form():
     pred = _lut_predictor(linear=True)
     rng = np.random.RandomState(10)
     img = rng.randint(0, 256, (18, 15, 3), dtype=np.uint8)
-    for s in [(2.0, 2.0), (2.5, 1.5)]:
+    # one mixed-axis scale exercises the full linear dynamic form; the
+    # multi-scale/one-program property is the gaussian test's job
+    for s in [(2.5, 1.5)]:
         want = pred.upscale(img, *s)
         got = pred.upscale_dynamic(img, *s)
         np.testing.assert_array_equal(want, got)
@@ -200,8 +204,9 @@ def test_lut_upscale_bucketed_dynamic_bit_exact():
     upscale_bucketed's out == scale·in alignment fails."""
     pred = _lut_predictor()
     rng = np.random.RandomState(11)
-    cases = [((21, 26), (2.0, 2.0)),
-             ((19, 23), (2.26, 2.26)),   # ceil output, non-aligned
+    # the aligned (2.0, 2.0) baseline is covered by the one-program test;
+    # these two vary input shape, ceil alignment, and axis asymmetry
+    cases = [((19, 23), (2.26, 2.26)),   # ceil output, non-aligned
              ((21, 26), (2.17, 2.0))]
     for in_sz, s in cases:
         img = rng.randint(0, 256, (*in_sz, 3), dtype=np.uint8)
@@ -244,14 +249,20 @@ def test_lut_upscale_dynamic_downscale_aa():
     gaussian and linear LUT forms, mixed axes included (VERDICT r3 item 4;
     reference AA semantics resize_right2d_numpy.py:52-55,186-193)."""
     rng = np.random.RandomState(14)
-    img = rng.randint(0, 256, (40, 56, 3), dtype=np.uint8)
+    img = rng.randint(0, 256, (32, 40, 3), dtype=np.uint8)
     pred = _lut_predictor()
-    for s in [(0.5, 0.5), (0.71, 0.71), (0.5, 2.0), (1.5, 0.33)]:
+    # (0.5, 0.5) covers the support-4 bucket; (1.5, 0.33) covers mixed
+    # up/down axes and the support-8 bucket.  The full 5-scale AA grid
+    # (incl. the deep 0.21 bucket-16 case) runs at op level in
+    # test_rings_ops_aa_bit_equal — each pipeline-level scale here costs
+    # a static + a dynamic program TRACE (uncacheable), so this test
+    # keeps one scale per bucket only.
+    for s in [(0.5, 0.5), (1.5, 0.33)]:
         want = pred.upscale(img, *s)
         got = pred.upscale_dynamic(img, *s)
         np.testing.assert_array_equal(want, got)
     predl = _lut_predictor(linear=True)
-    for s in [(0.5, 0.5), (0.71, 0.71)]:
+    for s in [(0.71, 0.71)]:
         want = predl.upscale(img, *s)
         got = predl.upscale_dynamic(img, *s)
         np.testing.assert_array_equal(want, got)
@@ -263,7 +274,7 @@ def test_lut_upscale_dynamic_downscale_one_program():
     support-8 bucket)."""
     pred = _lut_predictor()
     rng = np.random.RandomState(15)
-    img = rng.randint(0, 256, (40, 56, 3), dtype=np.uint8)
+    img = rng.randint(0, 256, (30, 42, 3), dtype=np.uint8)
     for s in [(0.3, 0.3), (0.29, 0.29)]:
         want = pred.upscale(img, *s)
         got = pred.upscale_dynamic(img, *s)

@@ -220,24 +220,26 @@ def test_lut_warp_dynamic_bit_exact_one_program():
     pred = _lut_predictor()
     rng = np.random.RandomState(8)
     img = rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
-    for m in _matrices()[:3]:
+    # two matrices prove the one-program property; each extra matrix
+    # costs a full static-path program TRACE on the comparison side
+    for m in _matrices()[:2]:
         want_out, want_mask = pred.warp(img, m, OUT_SZ)
         got_out, got_mask = pred.warp_dynamic(img, m, OUT_SZ)
         np.testing.assert_array_equal(want_out, got_out)
         np.testing.assert_array_equal(want_mask, got_mask)
-    assert len(pred._warp_dyn_cache) == 1     # one program, three matrices
-    assert len(pred._warp_cache) == 3         # vs one per matrix
+    assert len(pred._warp_dyn_cache) == 1     # one program, two matrices
+    assert len(pred._warp_cache) == 2         # vs one per matrix
 
 
 def test_lut_warp_dynamic_linear_form():
     pred = _lut_predictor(linear=True)
     rng = np.random.RandomState(9)
     img = rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
-    for m in _matrices()[:2]:
-        want_out, want_mask = pred.warp(img, m, OUT_SZ)
-        got_out, got_mask = pred.warp_dynamic(img, m, OUT_SZ)
-        np.testing.assert_array_equal(want_out, got_out)
-        np.testing.assert_array_equal(want_mask, got_mask)
+    m = _matrices()[0]
+    want_out, want_mask = pred.warp(img, m, OUT_SZ)
+    got_out, got_mask = pred.warp_dynamic(img, m, OUT_SZ)
+    np.testing.assert_array_equal(want_out, got_out)
+    np.testing.assert_array_equal(want_mask, got_mask)
     assert len(pred._warp_dyn_cache) == 1
 
 
@@ -259,7 +261,10 @@ def test_lut_warp_bucketed_bit_exact_one_program():
     different image shapes, output shapes, AND matrices bit-exactly."""
     pred = _lut_predictor()
     rng = np.random.RandomState(11)
-    cases = [((37, 45), (52, 40)), ((33, 41), (49, 44)), ((37, 45), (45, 47))]
+    # two cases vary input AND output shape (plus matrix) within one
+    # bucket; a third combo re-proves the same key arithmetic at the cost
+    # of another static-path program trace
+    cases = [((37, 45), (52, 40)), ((33, 41), (49, 44))]
     mats = _matrices()
     for (in_sz, out_sz), m in zip(cases, mats):
         img = rng.randint(0, 256, (*in_sz, 3), dtype=np.uint8)
@@ -268,7 +273,7 @@ def test_lut_warp_bucketed_bit_exact_one_program():
                                               granularity=16)
         np.testing.assert_array_equal(want_out, got_out)
         np.testing.assert_array_equal(want_mask, got_mask)
-    # all three (in, out) shape combos share the (48, 48)-bucket program
+    # both (in, out) shape combos share the (48, 48)-bucket program
     assert len([k for k in pred._warp_dyn_cache if k[0] == "bucket"]) == 1
 
 

@@ -23,15 +23,25 @@ OUT_SZ = (52, 40)
 MAT = np.array([[1.1, 0.02, 3.0], [0.01, 0.95, -2.0], [1e-4, 2e-5, 1.0]])
 
 
+_PRED = None
+
+
 def _lut_predictor():
-    rng = np.random.RandomState(7)
-    bank = LUTBank(
-        stage1={m: rng.randint(-127, 128, (L4, 1)).astype(np.int8)
-                for m in MODES},
-        stage2={f"{m}r{r}": rng.randint(-127, 128, (L4, 3)).astype(np.int8)
-                for m in MODES for r in (0, 1)},
-        out_c=3)
-    return LutPredictor(bank)
+    # module singleton: every test that builds its own server reuses one
+    # predictor, so dynamic programs (and their uncacheable traces) are
+    # shared across tests instead of re-traced per test
+    global _PRED
+    if _PRED is None:
+        rng = np.random.RandomState(7)
+        bank = LUTBank(
+            stage1={m: rng.randint(-127, 128, (L4, 1)).astype(np.int8)
+                    for m in MODES},
+            stage2={f"{m}r{r}": rng.randint(-127, 128,
+                                            (L4, 3)).astype(np.int8)
+                    for m in MODES for r in (0, 1)},
+            out_c=3)
+        _PRED = LutPredictor(bank)
+    return _PRED
 
 
 @pytest.fixture(scope="module")

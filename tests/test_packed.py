@@ -130,32 +130,37 @@ def test_banded_stages_bit_exact():
                                            lut_stage2)
 
     rng = np.random.RandomState(3)
-    L4 = 17 ** 4
+    # interval=5 (L=9): banding logic (MAX_PAD halos, band splits) is
+    # interval-independent, and the small tables keep the multi-MB LUT
+    # constants out of the traced graphs (big closures defeat both trace
+    # speed and the persistent compile cache's economics)
+    interval = 5
+    Lk = ((1 << (8 - interval)) + 1) ** 4
     # "s" (1 rotation group) + "c" (2 groups) cover both grouping shapes;
     # "t" duplicates "c"'s structure and only adds runtime here.
     modes = ("s", "c")
     s1 = build_packed_tables(
-        {m: rng.randint(-127, 128, (L4, 1)).astype(np.int8) for m in modes},
-        modes)
+        {m: rng.randint(-127, 128, (Lk, 1)).astype(np.int8) for m in modes},
+        modes, interval=interval)
     s2 = build_packed_tables(
-        {f"{m}r{r}": rng.randint(-127, 128, (L4, 3)).astype(np.int8)
-         for m in modes for r in (0, 1)}, modes, split_r=True)
-    # 14 rows: 5-row bands are a non-divisor split (5+5+4) and 2-row bands
-    # exercise the halo-clamp at both borders; 1-row extreme adds nothing
-    # beyond runtime (each band is a full eager ensemble eval).
+        {f"{m}r{r}": rng.randint(-127, 128, (Lk, 3)).astype(np.int8)
+         for m in modes for r in (0, 1)}, modes, split_r=True,
+        interval=interval)
+    # 14 rows / 5-row bands: a non-divisor split (5+5+4) whose first band
+    # halo-clamps at the top border, last at the bottom, middle carries
+    # full halos — every banding case in one split.  Each band is a full
+    # stage-ensemble TRACE (hundreds of primitives, uncacheable), so more
+    # band sizes only add runtime, not coverage.
     img = jnp.asarray(rng.randint(0, 256, (1, 14, 19)).astype(np.int32))
 
     import jax
 
-    # jit per band_target: the Python band loop unrolls into one traced
-    # graph (exactly how the production predictors run it), so the warm
-    # persistent cache makes this test compile-free.
     def stages(x, bt):
-        f = lut_stage1(x, s1, modes, band_target=bt)
-        return f, lut_stage2(f, s2, modes, band_target=bt)
+        f = lut_stage1(x, s1, modes, interval=interval, band_target=bt)
+        return f, lut_stage2(f, s2, modes, interval=interval,
+                             band_target=bt)
 
     f_ref, h_ref = jax.jit(lambda x: stages(x, 10 ** 9))(img)
-    for bt in (19 * 5, 19 * 2):     # 5-row (non-divisor) and 2-row bands
-        f_got, h_got = jax.jit(lambda x, b=bt: stages(x, b))(img)
-        np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(f_got))
-        np.testing.assert_array_equal(np.asarray(h_ref), np.asarray(h_got))
+    f_got, h_got = jax.jit(lambda x: stages(x, 19 * 5))(img)
+    np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(f_got))
+    np.testing.assert_array_equal(np.asarray(h_ref), np.asarray(h_got))

@@ -159,13 +159,15 @@ def test_upscale_cli_streams_directory(tmp_path):
              "--scale", "2", "--dynamicSR", "--platform", "cpu"])
     outs = sorted(dst.iterdir())
     assert [p.name for p in outs] == ["f0.png", "f1.png", "f2.png"]
-    for i, p in enumerate(outs):
-        single = up.main(["-e", str(exp), "--input", str(src / f"f{i}.png"),
-                          "--output", str(tmp_path / "one.png"),
-                          "--scale", "2", "--dynamicSR", "--platform",
-                          "cpu"])
-        np.testing.assert_array_equal(
-            np.array(Image.open(p).convert("RGB")), single)
+    # one single-image cross-check suffices: each up.main() builds a fresh
+    # predictor and re-TRACES the dynamic program (~3 s, uncacheable);
+    # frame-vs-frame equality of the engine itself is covered by
+    # test_stream_upscale_matches_sequential
+    single = up.main(["-e", str(exp), "--input", str(src / "f0.png"),
+                      "--output", str(tmp_path / "one.png"),
+                      "--scale", "2", "--dynamicSR", "--platform", "cpu"])
+    np.testing.assert_array_equal(
+        np.array(Image.open(outs[0]).convert("RGB")), single)
 
 
 def test_upscale_cli_single_image_warp_mode(tmp_path):

@@ -134,6 +134,7 @@ def test_quantize_lerf_params_structure_and_dispatch():
     assert float(feat.min()) >= 0 and float(feat.max()) <= 255
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not os.path.exists(CKPT), reason="reference checkpoint")
 def test_checkpoint_quality_int8_vs_float():
     """Shipped LeRF-G checkpoint: int8 stage-1 features stay within ~1 code
