@@ -105,7 +105,13 @@ def bench_lut_sr(s1, s2, h, w, scale=SCALE):
         rho, sx, sy = split_gaussian_hyper(hyper)
         out = steering_gaussian_resize(
             feat.astype(jnp.float32), rho, sx, sy, geom, max_sigma=10.0)
-        return jnp.clip(jnp.round(out[:, :h, :w]), 0, 255).astype(jnp.int32)
+        out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.int32)
+        if geom.out_sz[0] >= h and geom.out_sz[1] >= w:
+            return out[:, :h, :w]
+        # downscale: keep the chain input shape while deriving it from
+        # this iteration's output (DCE safety) — tile and crop
+        reps = (1, -(-h // geom.out_sz[0]), -(-w // geom.out_sz[1]))
+        return jnp.tile(out, reps)[:, :h, :w]
 
     dt = chain_time(pipeline, rand_img(h, w))
     return geom.out_sz[0] * geom.out_sz[1] / 1e6 / dt
@@ -140,9 +146,15 @@ def bench_lut_sr_rings(s1, s2, h, w, scale):
         out = steering_gaussian_resize_rings(
             feat.astype(jnp.float32), rho, sx, sy, rings, max_sigma=10.0,
             pad=pad)
-        oh = min(h, ops_.out_sz[0])
-        ow = min(w, ops_.out_sz[1])
-        return jnp.clip(jnp.round(out[:, :oh, :ow]), 0, 255).astype(jnp.int32)
+        out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.int32)
+        if ops_.out_sz[0] >= h and ops_.out_sz[1] >= w:
+            return out[:, :h, :w]
+        # downscale: the next chain input must keep the INPUT shape, and
+        # must still be derived from this iteration's output (DCE safety,
+        # BASELINE "Timing-methodology note") — tile the smaller output
+        # back up and crop
+        reps = (1, -(-h // ops_.out_sz[0]), -(-w // ops_.out_sz[1]))
+        return jnp.tile(out, reps)[:, :h, :w]
 
     dt = chain_time(pipeline, rand_img(h, w))
     return ops_.out_sz[0] * ops_.out_sz[1] / 1e6 / dt

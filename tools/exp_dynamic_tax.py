@@ -51,8 +51,25 @@ def main():
                    bench.bench_lut_sr_rings(s1, s2, 720, 1280, 3.55),
                    bench.REF_NUMPY_MPS)
     if not args.skip_train:
-        bench.emit("lerf_g_train_step_throughput", bench.bench_train(),
-                   unit="train_steps_per_sec")
+        # fresh process: after the 4K serving benches have run, the same
+        # in-process bench_train measures ~21 steps/s instead of ~860
+        # (allocator/fragmentation state from the multi-GB serving
+        # buffers) — verified 2026-08-21 by running it alone at HEAD
+        # (861/s) and at three historical commits (736-935/s)
+        import subprocess
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import bench; from lerf_tpu.config import enable_jit_cache;"
+             "enable_jit_cache();"
+             "print('RESULT', bench.bench_train())"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=1800)
+        val = [ln for ln in out.stdout.splitlines()
+               if ln.startswith("RESULT ")]
+        if not val:
+            raise RuntimeError(f"train bench failed: {out.stderr[-500:]}")
+        bench.emit("lerf_g_train_step_throughput",
+                   float(val[0].split()[1]), unit="train_steps_per_sec")
 
 
 if __name__ == "__main__":
