@@ -285,7 +285,12 @@ class ResizeOperands:
         if support != 2:
             raise ValueError("dynamic resize serving is support-2 only")
         if scale[0] >= 1.0 and scale[1] >= 1.0:
-            return cls.create(in_sz, out_sz=out, support=support)
+            # pass the RESOLVED scale through, not just out_sz: re-deriving
+            # scale as out/in differs from a requested fractional scale
+            # (out is its ceil), which would silently shift idx/dis vs
+            # `create` at the same request
+            return cls.create(in_sz, scale_factors=list(scale), out_sz=out,
+                              support=support)
         # the reference inflates support GLOBALLY by the min axis scale and
         # evaluates kernels at min_scale-scaled distances on BOTH axes
         # (resize_right2d_numpy.py:52-55,186-193)

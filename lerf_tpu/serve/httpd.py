@@ -86,7 +86,14 @@ def _decode_image(body: bytes, ctype: str):
         return arr, True
     from PIL import Image
 
-    return np.array(Image.open(io.BytesIO(body)).convert("RGB")), False
+    try:
+        return np.array(Image.open(io.BytesIO(body)).convert("RGB")), False
+    except OSError as e:
+        # PIL's UnidentifiedImageError (an OSError) on malformed image
+        # bodies is a CLIENT error; convert here so do_POST doesn't have
+        # to catch OSError broadly (which would mislabel server-side I/O
+        # faults as 400s)
+        raise ValueError(f"undecodable image body: {e}")
 
 
 def _npy_bytes(arr: np.ndarray) -> bytes:
@@ -155,6 +162,7 @@ def _build_handler(state: _State):
 
         def _send(self, code: int, payload: bytes, ctype: str,
                   extra=()):
+            self._response_started = True
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(payload)))
@@ -196,6 +204,9 @@ def _build_handler(state: _State):
             return self.rfile.read(n)
 
         def do_POST(self):
+            # per-request: the handler instance lives for the whole
+            # keep-alive connection
+            self._response_started = False
             url = urlparse(self.path)
             q = {k: v[-1] for k, v in parse_qs(url.query).items()}
             try:
@@ -222,14 +233,23 @@ def _build_handler(state: _State):
                 # client resync instead of the server desyncing on reuse)
                 self.close_connection = True
                 self._send_json(413, {"error": str(e)})
-            except (ValueError, KeyError, OSError) as e:
-                # OSError covers PIL's UnidentifiedImageError on malformed
-                # image bodies — a client error, not a server fault
+            except (ValueError, KeyError) as e:
+                # malformed-image OSErrors are converted to ValueError at
+                # the decode site; a bare OSError here is a server-side
+                # I/O fault (or a mid-response disconnect) and belongs to
+                # the 500 path below
                 self._send_json(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — keep-alive must survive
                 # an unexpected failure must produce an HTTP response (and
                 # keep the long-lived daemon's connection usable), never a
-                # dead thread and a dropped connection
+                # dead thread and a dropped connection.  But if the fault
+                # struck MID-response (status/partial body already on the
+                # wire — e.g. a client disconnect during a large PNG
+                # write), injecting a second response would corrupt the
+                # stream: close instead.
+                if getattr(self, "_response_started", False):
+                    self.close_connection = True
+                    return
                 try:
                     self._send_json(500, {
                         "error": f"{type(e).__name__}: {e}"})
@@ -308,6 +328,12 @@ def _build_handler(state: _State):
                 raise ValueError(
                     f"'imgs' must be uint8 [B, H, W, 3], got "
                     f"{imgs.dtype} {imgs.shape}")
+            if matrices.shape not in ((3, 3), (imgs.shape[0], 3, 3)):
+                # a mismatched batch would otherwise IndexError (500) or
+                # silently truncate to the first B matrices
+                raise ValueError(
+                    f"'matrices' must be [3, 3] or [{imgs.shape[0]}, 3, 3] "
+                    f"to match imgs, got {matrices.shape}")
             try:
                 oh, ow = (int(v) for v in q["outSize"].split("x"))
             except ValueError:

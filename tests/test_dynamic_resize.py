@@ -81,6 +81,18 @@ def test_operands_create_any_downscale():
         ResizeOperands.create_any((256, 256), scale_factors=[0.01, 0.01])
 
 
+def test_operands_create_any_fractional_upscale_exact():
+    """create_any must delegate pure upscales with the REQUESTED scale:
+    re-deriving scale as out/in (out is its ceil) silently shifts
+    idx/dis for fractional scales (round-4 review finding)."""
+    want = ResizeOperands.create((40, 56), scale_factors=[2.26, 2.26])
+    got = ResizeOperands.create_any((40, 56), scale_factors=[2.26, 2.26])
+    np.testing.assert_array_equal(want.idx_x, got.idx_x)
+    np.testing.assert_array_equal(want.idx_y, got.idx_y)
+    np.testing.assert_array_equal(want.dis_x, got.dis_x)
+    np.testing.assert_array_equal(want.dis_y, got.dis_y)
+
+
 def test_rings_ops_aa_bit_equal():
     """Anti-aliased rings programs must be bit-identical to the per-shape
     static AA path — gaussian and amplified-linear forms."""

@@ -389,6 +389,21 @@ def test_warp_batch_npz_bit_exact(served):
     np.testing.assert_array_equal(got_mask, np.asarray(want_mask))
 
 
+def test_warp_batch_matrices_mismatch_400(served):
+    """A matrices batch that doesn't match imgs must be a 400 with an
+    actionable message — not an IndexError 500 or silent truncation."""
+    _, base = served
+    rng = np.random.RandomState(52)
+    imgs = rng.randint(0, 256, (2, 8, 10, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    np.savez(buf, imgs=imgs, matrices=np.stack([np.eye(3)] * 5))
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/warp_batch?outSize=8x10", buf.getvalue(),
+              ctype="application/x-npz")
+    assert ei.value.code == 400
+    assert "matrices" in json.loads(ei.value.read())["error"]
+
+
 def test_serve_cli_builds_daemon(tmp_path):
     """The CLI wires config → predictor → server without serving forever."""
     from lerf_tpu.cli import serve as serve_cli

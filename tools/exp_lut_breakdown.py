@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from lerf_tpu.config import enable_jit_cache; enable_jit_cache()
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from lerf_tpu.ops.lut_pipeline import (MAX_PAD, PackedTables,
                                        _pad_all_sides, build_packed_tables)

@@ -35,7 +35,6 @@ def main():
     import jax.numpy as jnp
 
     from lerf_tpu.config import enable_jit_cache; enable_jit_cache()
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from lerf_tpu.ops import lut_stage1, lut_stage2
     from lerf_tpu.ops.lut_pipeline import build_packed_tables

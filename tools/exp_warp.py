@@ -109,7 +109,6 @@ def main():
     import jax.numpy as jnp
 
     from lerf_tpu.config import enable_jit_cache; enable_jit_cache()
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from lerf_tpu.ops import WarpGeometry, steering_gaussian_warp
 

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from lerf_tpu.config import enable_jit_cache; enable_jit_cache()
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from lerf_tpu.ops import WarpGeometry, steering_gaussian_warp
 from lerf_tpu.ops.resample import (_rowpack_warp_gather, _warp_dis_flat,
