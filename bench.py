@@ -642,6 +642,10 @@ def main(argv=None):
              bench_lut_sr_rings(s1, s2, 720, 1280, 3.55), REF_NUMPY_MPS)
         emit("lerf_g_lut_sr_x0.5_aa_rings_throughput",
              bench_lut_sr_rings(s1, s2, 1440, 2560, 0.5), REF_NUMPY_MPS)
+        # static per-shape AA companion point (tax table, BASELINE r4:
+        # 1.501 vs 1.486 rings — recompile freedom ~1% for AA downscales)
+        emit("lerf_g_lut_sr_x0.5_aa_static_throughput",
+             bench_lut_sr(s1, s2, 1440, 2560, 0.5), REF_NUMPY_MPS)
 
 
 if __name__ == "__main__":
