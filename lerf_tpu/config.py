@@ -49,6 +49,11 @@ def enable_jit_cache():
         # Persist sub-second compiles too: the test suite is ~250 tests
         # whose many small executables otherwise recompile every session.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        # Bound the dir (LRU eviction): persisting every small compile with
+        # per-host-fingerprint dirs would otherwise grow without limit;
+        # dirs orphaned by host migrations (~/.cache/jax_comp_<old fp>) are
+        # each bounded too — prune those manually if they accumulate.
+        jax.config.update("jax_compilation_cache_max_size", 4 * 1024 ** 3)
 
 
 @dataclasses.dataclass

@@ -248,6 +248,13 @@ def _build_handler(state: _State):
                 # write), injecting a second response would corrupt the
                 # stream: close instead.
                 if getattr(self, "_response_started", False):
+                    # leave a trace: a dropped connection with no log line
+                    # would make real server-side faults undiagnosable
+                    try:
+                        self.log_error("mid-response fault: %s: %s",
+                                       type(e).__name__, e)
+                    except Exception:   # noqa: BLE001 — logging must not raise
+                        pass
                     self.close_connection = True
                     return
                 try:
@@ -301,6 +308,13 @@ def _build_handler(state: _State):
 
         def _upscale_batch(self, body, q):
             imgs = np.load(io.BytesIO(body), allow_pickle=False)
+            if isinstance(imgs, np.lib.npyio.NpzFile):
+                # np.load returns an NpzFile for .npz bodies; without this
+                # branch the .dtype access below AttributeErrors into a 500
+                imgs.close()
+                raise ValueError(
+                    "body must be a single .npy array (uint8 [B, H, W, 3]); "
+                    "for .npz batched warp use /v1/warp_batch")
             if imgs.dtype != np.uint8 or imgs.ndim != 4 \
                     or imgs.shape[-1] != 3:
                 raise ValueError(
@@ -317,7 +331,15 @@ def _build_handler(state: _State):
             self._send(200, _npy_bytes(out), "application/x-npy")
 
         def _warp_batch(self, body, q):
-            with np.load(io.BytesIO(body), allow_pickle=False) as z:
+            z = np.load(io.BytesIO(body), allow_pickle=False)
+            if not isinstance(z, np.lib.npyio.NpzFile):
+                # a plain .npy body yields an ndarray, which is not a
+                # context manager — map to 400, not a TypeError 500
+                raise ValueError(
+                    "body must be an .npz archive with 'imgs' uint8 "
+                    "[B, H, W, 3] and 'matrices' float [B, 3, 3] (or "
+                    "[3, 3]); a plain .npy array is not accepted here")
+            with z:
                 if "imgs" not in z or "matrices" not in z:
                     raise ValueError(
                         "npz body must contain 'imgs' uint8 [B, H, W, 3] "

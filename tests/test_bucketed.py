@@ -40,8 +40,11 @@ def test_bucketed_bit_exact_and_shared_program():
         assert got.shape == want.shape
         np.testing.assert_array_equal(got, want)
     assert len(pred._bucket_cache) == 1       # one program served both shapes
-    # (a second, larger bucket would behave identically — the bucket key is
-    # pure arithmetic; proving it would cost two more program traces)
+    # key-only pin for bucket GROWTH (no second program trace): a (23, 18)
+    # input must compute the next (32, 32) bucket, not collide into (16, 16)
+    from lerf_tpu.pipeline import _bucket_prep
+    _, bucket2, _ = _bucket_prep(np.zeros((23, 18, 3), np.uint8), 2, 2, 16)
+    assert bucket2 == (32, 32)
 
 
 def test_net_bucketed_matches_exact():

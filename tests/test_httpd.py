@@ -404,6 +404,27 @@ def test_warp_batch_matrices_mismatch_400(served):
     assert "matrices" in json.loads(ei.value.read())["error"]
 
 
+def test_batch_wrong_container_types_400(served):
+    """Container-type confusion must be a 400, not a 500: an .npz body on
+    the .npy endpoint (NpzFile has no .dtype) and a plain .npy body on the
+    .npz endpoint (ndarray is not a context manager)."""
+    _, base = served
+    imgs = np.zeros((2, 8, 10, 3), np.uint8)
+    npz = io.BytesIO()
+    np.savez(npz, imgs=imgs, matrices=np.eye(3))
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/upscale_batch?scale=2", npz.getvalue())
+    assert ei.value.code == 400
+    assert "npy" in json.loads(ei.value.read())["error"]
+    npy = io.BytesIO()
+    np.save(npy, imgs)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/warp_batch?outSize=8x10", npy.getvalue(),
+              ctype="application/x-npz")
+    assert ei.value.code == 400
+    assert "npz" in json.loads(ei.value.read())["error"]
+
+
 def test_serve_cli_builds_daemon(tmp_path):
     """The CLI wires config → predictor → server without serving forever."""
     from lerf_tpu.cli import serve as serve_cli
