@@ -241,3 +241,81 @@ def predict_imdn2_s2d(p2: Dict, x: jnp.ndarray, stage: int, *, block: int,
     if stage == 2:
         return jnp.clip(y, -1, 1) / 2 + 0.5
     return jnp.clip(y, -1, 1) * half + half
+
+
+#: Chained spatial (3x3) convs per IMDN_RTC tower (upscale=1): ``fea`` +
+#: 5 modules x (c1..c4) + ``up`` (c5 and lr are 1x1) — the tower's
+#: receptive-field radius in rows/cols, and hence the depth to which
+#: band-edge garbage propagates when a tower runs on a row slab
+#: (parallel.spatial.imdn_stages_sharded).
+TOWER_SPATIAL_CONVS = 22
+
+
+def tower_halo_rows(block: int) -> int:
+    """Image rows of band-edge halo ONE tower run needs for its interior
+    output rows to be exact: each s2d-space conv extends edge garbage by
+    one s2d row = ``block`` image rows."""
+    return TOWER_SPATIAL_CONVS * block
+
+
+def make_chw_stage_fns(variables: Dict, *, backend: str, block: int = 2,
+                       nf: int = 12, norm: int = 255, out_c: int = 3,
+                       dtype: Any = jnp.float32, model=None):
+    """Build the channel-first IMDN2 stage fns shared by
+    ``pipeline.NetPredictor.from_imdn`` and the row-sharded pipeline
+    (``parallel.spatial.imdn_stages_sharded``).
+
+    Returns ``(variables', s1, s2)`` where ``variables'`` are the (possibly
+    s2d-converted) params and
+
+    - ``s1(p, x, valid_hw=None)``: ``x`` [..., C, H, W] in [0,1] → feature
+      [..., C, H, W] in [0,255] (reference eval_model.py:124-129 semantics),
+    - ``s2(p, x, valid_hw=None)``: → hyper [..., C, H, W, out_c] in [0,1]
+      (the reference's interleaved 3·C hyper channels, eval_model.py:149,
+      reshaped to the trailing-axis convention).
+
+    ``valid_hw=(h, w)`` (traced scalars) runs the per-conv re-masked
+    execution that reproduces the unpadded program's SAME zero padding at
+    ``(h, w)`` on a larger frame — the primitive behind both bucketed
+    serving and the sharded band execution.  ``model`` (the flax IMDN2
+    module) is only consulted for the base backend's unmasked path; when
+    absent, the bit-equivalent ``block=1`` re-embedding runs instead.
+    """
+    backend = resolve_backend(backend)
+    if backend == "s2d":
+        variables = convert_imdn2(variables, block)
+
+        def apply_fn(p, x, stage, valid_hw=None):
+            return predict_imdn2_s2d(p, x, stage, block=block, nf=nf,
+                                     norm=norm, dtype=dtype,
+                                     valid_hw=valid_hw)
+    else:
+        def apply_fn(p, x, stage, valid_hw=None):
+            if valid_hw is None and model is not None:
+                return model.apply(p, x, stage)
+            # the b=1 re-embedding is the stock computation (with traced
+            # per-conv re-masking when valid_hw is given)
+            return predict_imdn2_s2d({"params": p["params"]}, x, stage,
+                                     block=1, nf=nf, norm=norm, dtype=dtype,
+                                     valid_hw=valid_hw)
+
+    def to_nhwc(x):                    # [..., C, H, W] → NHWC batch
+        nhwc = jnp.moveaxis(x, -3, -1)
+        return (nhwc[None], True) if nhwc.ndim == 3 else (nhwc, False)
+
+    def s1(p, x, valid_hw=None):       # x [..., C,H,W] → [..., C,H,W]
+        nhwc, single = to_nhwc(x)
+        out = apply_fn(p, nhwc, 1, valid_hw)
+        out = out[0] if single else out
+        return jnp.moveaxis(out, -1, -3)
+
+    def s2(p, x, valid_hw=None):
+        nhwc, single = to_nhwc(x)
+        out = apply_fn(p, nhwc, 2, valid_hw)      # [B,H,W,3·C]
+        out = out[0] if single else out
+        c = x.shape[-3]
+        # [..., H,W,oC,C] → [..., C,H,W,oC]
+        out = out.reshape(out.shape[:-1] + (out_c, c))
+        return jnp.moveaxis(out, -1, -4)
+
+    return variables, s1, s2

@@ -10,9 +10,12 @@ from .mesh import (
     shard_batch,
 )
 from .spatial import (
+    imdn_stages_sharded,
     lut_stages_sharded,
     sharded_dynamic_sr_pipeline,
     sharded_dynamic_warp_pipeline,
+    sharded_imdn_sr_pipeline,
+    sharded_imdn_warp_pipeline,
     sharded_lut_sr_pipeline,
     sharded_lut_warp_pipeline,
     sharded_net_sr_pipeline,
@@ -33,4 +36,6 @@ __all__ = ["DATA_AXIS", "make_mesh", "batch_sharding", "replicated",
            "sharded_dynamic_warp_pipeline",
            "steering_gaussian_resize_rings_sharded",
            "sharded_dynamic_sr_pipeline",
-           "srnet_stages_sharded", "sharded_net_sr_pipeline"]
+           "srnet_stages_sharded", "sharded_net_sr_pipeline",
+           "imdn_stages_sharded", "sharded_imdn_sr_pipeline",
+           "sharded_imdn_warp_pipeline"]

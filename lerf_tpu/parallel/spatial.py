@@ -509,3 +509,136 @@ def sharded_net_sr_pipeline(img, params, geom: ResizeGeometry, mesh, *,
                                         hyper[..., 1], hyper[..., 2])
     return steering_gaussian_resize_sharded(
         feat, rho, sx, sy, geom, mesh, max_sigma=max_sigma, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# IMDN (LeRF-Net) form, input-row-sharded conv towers
+# ---------------------------------------------------------------------------
+
+
+def imdn_stages_sharded(img, variables, mesh, *, backend: str = "base",
+                        block: int = 2, nf: int = 12, norm: int = 255,
+                        out_c: int = 3, two_stage: bool = True,
+                        dtype=None, axis: str = DATA_AXIS):
+    """Input-row-sharded IMDN2 (LeRF-Net) conv towers — SURVEY §2.8's
+    spatial conv parallelism for the zero-pad SAME-conv form.
+
+    Structure mirrors :func:`_two_stage_band_sharded` (replicated input,
+    each chip dynamic-slices its band locally — halo data without a
+    collective), but the halo is sized to the CONV RECEPTIVE FIELD instead
+    of ``MAX_PAD``: each IMDN_RTC tower chains 22 spatial 3×3 convs
+    (models/imdn_s2d.TOWER_SPATIAL_CONVS — reference model.py:480-523), so
+    band-edge garbage reaches ``22·block`` image rows per tower and each
+    chip recomputes a ``(two stages)·22·block``-row halo in place of a
+    per-conv halo exchange (bounded re-compute: identical arithmetic on
+    the kept rows, zero collectives — at the ~1080-row frames this path
+    targets, the halo is small next to ``H/n_chips``).
+
+    Exactness at the seams: interior band edges hold REAL halo rows (the
+    garbage depth is cropped), and the true bottom edge reproduces the
+    unpadded program's SAME zero padding through the traced per-conv
+    re-masking (``imdn_s2d`` ``valid_hw``) plus inter-stage zeroing — the
+    same primitive that makes the IMDN form bucketable, so kept rows carry
+    exactly the single-device program's values (modulo XLA's shape-
+    dependent f32 reduction fusion — tests/test_spatial.py bounds it).
+
+    ``img``: [..., C, H, W] integer or float in 0..255.  Returns
+    (feat [..., C, H, W] in [0,255], hyper [..., C, H, W, out_c] in [0,1])
+    row-sharded over ``mesh``, cropped to H.  ``two_stage=False`` skips
+    the feature tower exactly like the reference (eval_model.py:124-129).
+    """
+    from ..models.imdn_s2d import make_chw_stage_fns, tower_halo_rows
+
+    if dtype is None:
+        dtype = jnp.float32
+    variables, s1, s2 = make_chw_stage_fns(
+        variables, backend=backend, block=block, nf=nf, norm=norm,
+        out_c=out_c, dtype=dtype)
+
+    n = mesh.devices.size
+    h, w = img.shape[-2:]
+    hp = -(-h // n) * n
+    if hp != h:
+        cfg = [(0, 0)] * (img.ndim - 2) + [(0, hp - h), (0, 0)]
+        img = jnp.pad(img, cfg)        # zero rows — re-masked anyway
+    rows = hp // n
+    halo = (2 if two_stage else 1) * tower_halo_rows(
+        block if backend == "s2d" else 1)
+    band = min(rows + 2 * halo, hp)
+
+    def local(img_rep, p_rep):
+        i = jax.lax.axis_index(axis)
+        r0 = i * rows
+        lo = jnp.clip(r0 - halo, 0, hp - band)
+        sl = jax.lax.dynamic_slice_in_dim(img_rep, lo, band, axis=-2)
+        x = sl.astype(jnp.float32) / float(norm)
+        h_loc = h - lo                 # traced valid rows in band coords
+        row_ok = jnp.arange(band) < h_loc
+        if two_stage:
+            feat_b = s1(p_rep, x, (h_loc, w))
+            # feat beyond the valid region must be ZERO so stage 2's conv
+            # windows at the true bottom edge see exactly the unpadded
+            # program's SAME zero padding
+            feat_b = jnp.where(row_ok[:, None], feat_b, 0.0)
+            hyper_in = feat_b / float(norm)
+        else:
+            feat_b = jnp.where(row_ok[:, None], jnp.round(x * norm), 0.0)
+            hyper_in = jnp.where(row_ok[:, None], x, 0.0)
+        hyper_b = s2(p_rep, hyper_in, (h_loc, w))
+        off = r0 - lo
+        feat = jax.lax.dynamic_slice_in_dim(feat_b, off, rows, axis=-2)
+        hyper = jax.lax.dynamic_slice_in_dim(hyper_b, off, rows, axis=-3)
+        return feat, hyper
+
+    row_spec = [None] * img.ndim
+    row_spec[-2] = axis
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(*row_spec), P(*(row_spec + [None]))))
+    feat, hyper = fn(img, variables)
+    return feat[..., :h, :], hyper[..., :h, :, :]
+
+
+def sharded_imdn_sr_pipeline(img, variables, geom: ResizeGeometry, mesh, *,
+                             backend: str = "base", block: int = 2,
+                             nf: int = 12, norm: int = 255, out_c: int = 3,
+                             two_stage: bool = True,
+                             max_sigma: float = 10.0,
+                             axis: str = DATA_AXIS):
+    """Complete multi-chip IMDN (LeRF-Net) SR: row-sharded conv towers →
+    row-sharded steerable resize — the conv-form counterpart of
+    :func:`sharded_lut_sr_pipeline` with the same communication structure
+    (the ONLY collective is the input-sized all-gather of the stacked
+    feat/hyper planes feeding the replicated-source resize;
+    tests/test_spatial.py pins the count).  The IMDN hyper maps are
+    per-image-channel ([C, H, W, 3] for inC=3), matching the
+    single-device ``NetPredictor.from_imdn`` resample exactly."""
+    feat, hyper = imdn_stages_sharded(img, variables, mesh, backend=backend,
+                                      block=block, nf=nf, norm=norm,
+                                      out_c=out_c, two_stage=two_stage,
+                                      axis=axis)
+    feat, rho, sx, sy = _replicate_once(mesh, feat, hyper[..., 0],
+                                        hyper[..., 1], hyper[..., 2])
+    return steering_gaussian_resize_sharded(
+        feat, rho, sx, sy, geom, mesh, max_sigma=max_sigma, axis=axis)
+
+
+def sharded_imdn_warp_pipeline(img, variables, geom, mesh, *,
+                               backend: str = "base", block: int = 2,
+                               nf: int = 12, norm: int = 255,
+                               out_c: int = 3, two_stage: bool = True,
+                               max_sigma: float = 10.0,
+                               axis: str = DATA_AXIS):
+    """Multi-chip IMDN homographic warp: row-sharded conv towers →
+    output-row-sharded warp (same structure as
+    :func:`sharded_lut_warp_pipeline`; float rows — IMDN hyper maps are
+    continuous, so the u8 row pack does not apply)."""
+    feat, hyper = imdn_stages_sharded(img, variables, mesh, backend=backend,
+                                      block=block, nf=nf, norm=norm,
+                                      out_c=out_c, two_stage=two_stage,
+                                      axis=axis)
+    feat, rho, sx, sy = _replicate_once(mesh, feat, hyper[..., 0],
+                                        hyper[..., 1], hyper[..., 2])
+    return steering_gaussian_warp_sharded(
+        feat, rho, sx, sy, geom, mesh, max_sigma=max_sigma, axis=axis)

@@ -33,7 +33,8 @@ from .ops import (
     steering_gaussian_warp,
     steering_gaussian_warp_rings,
 )
-from .ops.resample import rings_for_bucket, warp_serving_host_fused
+from .ops.resample import (nearest_warp_mask_on_device, rings_for_bucket,
+                           warp_rings_on_device, warp_serving_host_fused)
 from .ops.lut_pipeline import PackedTables, lut_stage1_intermediate
 
 
@@ -206,8 +207,15 @@ class NetPredictor:
                  two_stage: bool = True, supp_size: int = 2,
                  max_sigma: float = 10.0, norm: int = 255,
                  hyper_u8: bool = False, stage_pad: str = "replicate",
-                 stage1_masked_fn=None, stage2_masked_fn=None):
+                 stage1_masked_fn=None, stage2_masked_fn=None, mesh=None):
         self.params = params
+        # multi-chip serving, matching LutPredictor(mesh=...): params
+        # replicated once here; upscale_batch shards its batch across the
+        # mesh (pure data-parallel scale-out, zero forward collectives)
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel import replicate
+            self.params = replicate(params, mesh)
         self.stage1_fn = stage1_fn
         self.stage2_fn = stage2_fn
         # (params, x, h, w) variants that reproduce the unpadded program's
@@ -240,7 +248,7 @@ class NetPredictor:
                     modes2=("s", "c", "t"), stages: int = 2,
                     linear: bool = False, two_stage: bool = True,
                     supp_size: int = 2, max_sigma: float = 10.0,
-                    norm: int = 255, backend: str = "auto"):
+                    norm: int = 255, backend: str = "auto", mesh=None):
         """LeRF-L/G trainable form (SRNetsSWF2 pixel-MLP ensemble).
 
         ``backend``: "auto" (default) runs the fused Pallas ensemble kernel
@@ -267,14 +275,14 @@ class NetPredictor:
         # u8 warp rows require codes that are exact multiples of 1/255
         return cls(params, s1, s2, linear=linear, two_stage=two_stage,
                    supp_size=supp_size, max_sigma=max_sigma, norm=norm,
-                   hyper_u8=(norm == 255))
+                   hyper_u8=(norm == 255), mesh=mesh)
 
     @classmethod
     def from_imdn(cls, model, variables, *, out_c: int = 3,
                   linear: bool = False, two_stage: bool = True,
                   supp_size: int = 2,
                   max_sigma: float = 10.0, norm: int = 255,
-                  backend: str = "auto", s2d_block: int = 2):
+                  backend: str = "auto", s2d_block: int = 2, mesh=None):
         """LeRF-Net / LeRF-Net++ (IMDN2 flax module, inC=3).
 
         ``two_stage=False`` skips the feature tower at eval exactly like
@@ -293,53 +301,17 @@ class NetPredictor:
         models/imdn_s2d.py).  "auto" = s2d on TPU (measured 4.7× on chip),
         stock elsewhere (imdn_s2d.resolve_backend).
         """
-        from .models.imdn_s2d import predict_imdn2_s2d, resolve_backend
-        backend = resolve_backend(backend)
-        nf, dtype = model.nf, model.dtype
-        if backend == "s2d":
-            from .models.imdn_s2d import convert_imdn2
-            variables = convert_imdn2(variables, s2d_block)
-
-            def apply_fn(p, x, stage, valid_hw=None):
-                return predict_imdn2_s2d(p, x, stage, block=s2d_block,
-                                         nf=nf, norm=norm, dtype=dtype,
-                                         valid_hw=valid_hw)
-        elif backend == "base":
-            def apply_fn(p, x, stage, valid_hw=None):
-                if valid_hw is None:
-                    return model.apply(p, x, stage)
-                # bucketed: the b=1 re-embedding is the stock computation
-                # with traced-bound per-conv re-masking (imdn_s2d doc)
-                return predict_imdn2_s2d({"params": p["params"]}, x, stage,
-                                         block=1, nf=nf, norm=norm,
-                                         dtype=dtype, valid_hw=valid_hw)
-        else:
-            raise ValueError(f"unknown IMDN backend {backend!r}")
-
-        def to_nhwc(x):                    # [..., C, H, W] → NHWC batch
-            nhwc = jnp.moveaxis(x, -3, -1)
-            return (nhwc[None], True) if nhwc.ndim == 3 else (nhwc, False)
-
-        def s1(p, x, valid_hw=None):       # x [..., C,H,W] → [..., C,H,W]
-            nhwc, single = to_nhwc(x)
-            out = apply_fn(p, nhwc, 1, valid_hw)
-            out = out[0] if single else out
-            return jnp.moveaxis(out, -1, -3)
-
-        def s2(p, x, valid_hw=None):
-            nhwc, single = to_nhwc(x)
-            out = apply_fn(p, nhwc, 2, valid_hw)      # [B,H,W,3·C]
-            out = out[0] if single else out
-            c = x.shape[-3]
-            # [..., H,W,oC,C] → [..., C,H,W,oC]
-            out = out.reshape(out.shape[:-1] + (out_c, c))
-            return jnp.moveaxis(out, -1, -4)
+        from .models.imdn_s2d import make_chw_stage_fns
+        variables, s1, s2 = make_chw_stage_fns(
+            variables, backend=backend, block=s2d_block, nf=model.nf,
+            norm=norm, out_c=out_c, dtype=model.dtype, model=model)
 
         return cls(variables, s1, s2, linear=linear, two_stage=two_stage,
                    supp_size=supp_size,
                    max_sigma=max_sigma, norm=norm, stage_pad="zero",
                    stage1_masked_fn=lambda p, x, h, w: s1(p, x, (h, w)),
-                   stage2_masked_fn=lambda p, x, h, w: s2(p, x, (h, w)))
+                   stage2_masked_fn=lambda p, x, h, w: s2(p, x, (h, w)),
+                   mesh=mesh)
 
     @property
     def _bucketable(self):
@@ -579,9 +551,13 @@ class NetPredictor:
             out = np.round(bchw * self.norm)
             return np.clip(out, 0, self.norm).astype(np.uint8) \
                 .transpose(0, 2, 3, 1)
+        batch = jnp.asarray(bchw)
+        if self.mesh is not None:
+            from .parallel import shard_batch
+            batch = shard_batch(batch, self.mesh)
         run = self._resize_fn(bchw.shape[2:],
                               (float(scale_h), float(scale_w)))
-        out, _, _ = run(jnp.asarray(bchw))
+        out, _, _ = run(batch)
         return _quantize_host(out, self.norm).transpose(0, 2, 3, 1)
 
     def _warp_fn(self, in_sz, matrix_key, geom, mask_geom):
@@ -1337,6 +1313,90 @@ class LutPredictor:
 
         return ServingFuture(finish)
 
+    def _warp_devgeo_fn(self, in_sz, out_sz):
+        key = ("devgeo", in_sz, out_sz)
+        if key not in self._warp_dyn_cache:
+
+            @jax.jit
+            def run(img_i32, inv):
+                rings = warp_rings_on_device(inv, in_sz, out_sz)
+                mask = nearest_warp_mask_on_device(inv, in_sz, out_sz,
+                                                   border=4)
+                feat, hyper = self._stages_fn(img_i32)
+                out = steering_gaussian_warp_rings(
+                    feat, hyper[..., 0], hyper[..., 1], hyper[..., 2],
+                    rings, out_sz=out_sz, max_sigma=self.max_sigma,
+                    u8_inputs=True)
+                return _quantize_device(out, self.norm, nan_to_zero=True), \
+                    mask
+
+            self._warp_dyn_cache[key] = run
+        return self._warp_dyn_cache[key]
+
+    def warp_device_async(self, img_hwc: np.ndarray, matrix: np.ndarray,
+                          out_hw: Tuple[int, int]):
+        """Non-blocking :meth:`warp_device`."""
+        matrix = np.asarray(matrix)
+        if self.supp_size != 2 or self.norm != 255 or self.linear:
+            return ServingFuture.resolved(self.warp(img_hwc, matrix, out_hw))
+        img = np.asarray(img_hwc)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        in_sz = img.shape[:2]
+        out_hw = tuple(int(v) for v in out_hw)
+        inv = np.linalg.inv(matrix.astype(np.float64)).astype(np.float32)
+        chw = np.ascontiguousarray(img.transpose(2, 0, 1)).astype(np.int32)
+        run = self._warp_devgeo_fn(in_sz, out_hw)
+        out, mask = run(jnp.asarray(chw), jnp.asarray(inv))
+        _copy_host_async(out, mask)
+
+        def finish():
+            return (_quantize_host(out, self.norm).transpose(1, 2, 0),
+                    np.asarray(mask))
+
+        return ServingFuture(finish)
+
+    def warp_device(self, img_hwc: np.ndarray, matrix: np.ndarray,
+                    out_hw: Tuple[int, int]):
+        """DEVICE-GEOMETRY homographic warp serving: the per-frame matrix
+        operand is the 3×3 inverse alone — no corner/distance upload
+        (~20 B/output-px with :meth:`warp_dynamic`) and no host geometry
+        precompute (~70 ms/frame at 1440p); rings and validity mask are
+        computed in-program (``ops.resample.warp_rings_on_device``).
+
+        One compiled program per (in_sz, out_sz), any matrix — the same
+        program identity as :meth:`warp_dynamic`, minus its operand
+        transfer.  NOT bit-equal to the float64 host-geometry paths: the
+        f32 in-program projective divide can flip ceil/box boundaries at a
+        ~1e-4-px scale (measured Set5 quality deltas: BASELINE.md
+        "Device-geometry warp").  Gaussian deploy config only (support 2,
+        norm 255, non-linear); other configs fall back to :meth:`warp`."""
+        return self.warp_device_async(img_hwc, matrix, out_hw).result()
+
+    def _warp_devgeo_batch_fn(self, batch, in_sz, out_sz):
+        key = ("devgeo_batch", batch, in_sz, out_sz)
+        if key not in self._warp_dyn_cache:
+
+            @jax.jit
+            def run(imgs_i32, invs):
+                feat, hyper = self._stages_fn(imgs_i32)   # batch-polymorphic
+
+                def one(f1, h1, inv1):
+                    rings = warp_rings_on_device(inv1, in_sz, out_sz)
+                    out = steering_gaussian_warp_rings(
+                        f1, h1[..., 0], h1[..., 1], h1[..., 2], rings,
+                        out_sz=out_sz, max_sigma=self.max_sigma,
+                        u8_inputs=True)
+                    return out, nearest_warp_mask_on_device(
+                        inv1, in_sz, out_sz, border=4)
+
+                out, mask = jax.vmap(one)(feat, hyper, invs)
+                return _quantize_device(out, self.norm,
+                                        nan_to_zero=True), mask
+
+            self._warp_dyn_cache[key] = run
+        return self._warp_dyn_cache[key]
+
     def _warp_batch_fn(self, batch, in_sz, out_sz):
         key = ("batch", batch, in_sz, out_sz)
         if key not in self._warp_dyn_cache:
@@ -1362,7 +1422,7 @@ class LutPredictor:
         return self._warp_dyn_cache[key]
 
     def warp_batch(self, imgs_bhwc: np.ndarray, matrices: np.ndarray,
-                   out_hw: Tuple[int, int]):
+                   out_hw: Tuple[int, int], geometry: str = "host"):
         """Batched warp serving: uint8 [B,H,W,C] + per-frame homographies
         [B,3,3] (or one shared [3,3]) → (uint8 [B,oH,oW,C], bool mask
         [B,oH,oW]) — ONE device program for the whole batch, any matrices.
@@ -1371,17 +1431,32 @@ class LutPredictor:
         warp is vmapped over per-frame operand stacks; bit-identical per
         frame to :meth:`warp` (tests/test_batch_serving.py).  Match: the
         reference's batched warp semantics (resize_right2d_torch.py:346-370)
-        generalized to per-frame matrices."""
+        generalized to per-frame matrices.
+
+        ``geometry="device"`` computes the per-frame rings + masks
+        in-program from the 3×3 inverses (B·9 floats of matrix operand
+        instead of B·20 B/output-px — the batched form of
+        :meth:`warp_device`, same f32 caveats/fallbacks)."""
         imgs = np.asarray(imgs_bhwc)
         matrices = np.asarray(matrices, dtype=np.float64)
         if matrices.ndim == 2:
             matrices = np.broadcast_to(matrices, (imgs.shape[0], 3, 3))
         out_hw = tuple(int(v) for v in out_hw)
-        if self.supp_size != 2 or self.norm != 255:
+        if self.supp_size != 2 or self.norm != 255 \
+                or (geometry == "device" and self.linear):
             outs, masks = zip(*(self.warp(imgs[i], matrices[i], out_hw)
                                 for i in range(imgs.shape[0])))
             return np.stack(outs), np.stack(masks)
         in_sz = imgs.shape[1:3]
+        if geometry == "device":
+            invs = np.stack([np.linalg.inv(m).astype(np.float32)
+                             for m in matrices])
+            bchw = np.ascontiguousarray(imgs.transpose(0, 3, 1, 2)) \
+                .astype(np.int32)
+            run = self._warp_devgeo_batch_fn(imgs.shape[0], in_sz, out_hw)
+            out, mask = run(jnp.asarray(bchw), jnp.asarray(invs))
+            return (_quantize_host(out, self.norm).transpose(0, 2, 3, 1),
+                    np.asarray(mask))
         rings_list, masks = [], []
         for i in range(imgs.shape[0]):
             r, m = warp_serving_host_fused(in_sz, matrices[i], out_hw,

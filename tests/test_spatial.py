@@ -314,3 +314,87 @@ def test_sharded_dynamic_warp_bit_exact_across_matrices():
         np.testing.assert_allclose(np.nan_to_num(want),
                                    np.nan_to_num(got_jit),
                                    rtol=2e-5, atol=1e-4)
+
+
+def test_sharded_imdn_pipeline_matches_single_device():
+    """The IMDN (LeRF-Net) multi-chip SR pipeline — row-sharded conv
+    towers with receptive-field-sized recompute halos (44 rows for the
+    two-stage chain) feeding the row-sharded resize — matches the
+    single-device stage fns + resize.  H=160 on 8 devices gives 20-row
+    slabs with 108-row bands, so interior band edges and their garbage
+    crops are genuinely exercised (not just full-image bands), plus the
+    non-divisible-width masking.  Also pins the communication structure:
+    exactly ONE all-gather (the stacked feat/hyper planes)."""
+    from lerf_tpu.models.imdn import IMDN2
+    from lerf_tpu.models.imdn_s2d import make_chw_stage_fns
+    from lerf_tpu.parallel import make_mesh, sharded_imdn_sr_pipeline
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    model = IMDN2(in_c=3, out_c=3, nf=12)
+    variables = model.init(jax.random.PRNGKey(7), jnp.zeros((1, 8, 8, 3)), 0)
+    h, w = 160, 13                     # w odd: exercises the width masking
+    rng = np.random.RandomState(11)
+    img = jnp.asarray(rng.randint(0, 256, (3, h, w)).astype(np.int32))
+    geom = ResizeGeometry.create((h, w), scale_factors=[2, 2], support=2)
+
+    _, s1, s2 = make_chw_stage_fns(variables, backend="base", model=model)
+    x = img.astype(jnp.float32) / 255.0
+    feat_ref = s1(variables, x)
+    hyper_ref = s2(variables, feat_ref / 255.0)
+    want = np.asarray(steering_gaussian_resize(
+        feat_ref, hyper_ref[..., 0], hyper_ref[..., 1], hyper_ref[..., 2],
+        geom, max_sigma=10.0))
+
+    run = jax.jit(lambda im: sharded_imdn_sr_pipeline(
+        im, variables, geom, mesh, backend="base"))
+    got = np.asarray(run(img))
+    # kept rows carry the same conv arithmetic; XLA's shape-dependent f32
+    # fusion bounds the comparison like the other sharded conv-free forms
+    np.testing.assert_allclose(want, got, rtol=1e-5, atol=1e-3)
+
+    hlo = run.lower(img).compile().as_text()
+    n_ag = hlo.count(" all-gather(") + hlo.count(" all-gather-start(")
+    assert n_ag == 1, f"sharded IMDN pipeline emits {n_ag} all-gathers"
+
+
+def test_sharded_imdn_single_stage_and_warp():
+    """two_stage=False (reference eval_model.py:124-129: the hyper tower
+    sees the raw image) and the warp-form pipeline, on a smaller frame."""
+    from lerf_tpu.models.imdn import IMDN2
+    from lerf_tpu.models.imdn_s2d import make_chw_stage_fns
+    from lerf_tpu.parallel import (make_mesh, imdn_stages_sharded,
+                                   sharded_imdn_warp_pipeline)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    model = IMDN2(in_c=3, out_c=3, nf=12)
+    variables = model.init(jax.random.PRNGKey(9), jnp.zeros((1, 8, 8, 3)), 0)
+    h, w = 21, 15
+    rng = np.random.RandomState(12)
+    img = jnp.asarray(rng.randint(0, 256, (3, h, w)).astype(np.int32))
+
+    _, s1, s2 = make_chw_stage_fns(variables, backend="base", model=model)
+    x = img.astype(jnp.float32) / 255.0
+    feat_ref = jnp.round(x * 255.0)
+    hyper_ref = s2(variables, x)
+    feat, hyper = imdn_stages_sharded(img, variables, mesh, backend="base",
+                                      two_stage=False)
+    np.testing.assert_array_equal(np.asarray(feat_ref), np.asarray(feat))
+    np.testing.assert_allclose(np.asarray(hyper_ref), np.asarray(hyper),
+                               rtol=1e-5, atol=1e-5)
+
+    oh, ow = 31, 27
+    matrix = np.linalg.inv(np.diag([0.55, 0.6, 1.0]))
+    geom = WarpGeometry.create((h, w), matrix, (oh, ow), support=2)
+    want = np.asarray(steering_gaussian_warp(
+        feat_ref, hyper_ref[..., 0], hyper_ref[..., 1], hyper_ref[..., 2],
+        geom, max_sigma=10.0))
+    got = np.asarray(sharded_imdn_warp_pipeline(
+        img, variables, geom, mesh, backend="base", two_stage=False))
+    nan_w, nan_g = np.isnan(want), np.isnan(got)
+    np.testing.assert_array_equal(nan_g, nan_w)
+    np.testing.assert_allclose(np.nan_to_num(want), np.nan_to_num(got),
+                               rtol=1e-5, atol=1e-3)
