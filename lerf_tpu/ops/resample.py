@@ -1059,6 +1059,99 @@ def _mask_from_grid(grid_x, grid_y, in_sz, border: int = 4):
     return (weight * neigh) == 255.0
 
 
+def warp_rings_on_device(inv, in_sz, out_sz):
+    """Compute :class:`WarpRings` INSIDE the program from the traced
+    inverse homography — dynamic-warp serving with (almost) no per-frame
+    operand transfer.
+
+    The host-built rings ship ~20 B per output pixel (int32 corner + two
+    [N, 2] float32 distance arrays — ~74 MB at 2560×1440), which makes
+    dynamic/batched warp transfer-bound on host links below ~GB/s
+    (BASELINE.md round-4 "dynamic-warp p50").  Here the ONLY per-frame
+    matrix operand is ``inv`` itself (9 floats): the projective grid, the
+    ceil/clip FOV arithmetic, the corner/ring indices, and the distances
+    are all computed in-program (VPU elementwise work that XLA fuses into
+    the gather's operand production), term-for-term the same expressions
+    as the float64 host path (``_warp_grid`` + ``_serving_axis``) — but in
+    float32, because TPUs have no native f64.  The f32 projective divide
+    can land a grid value on the other side of a ``ceil`` boundary vs the
+    host path (~1e-4 px error at 1e3-px coordinates), so outputs are NOT
+    bit-equal to the host-rings path; the measured Set5 quality tax is
+    recorded in BASELINE.md ("Device-geometry warp") and the host path
+    stays the default.
+
+    ``inv``: [3, 3] float32 (host: ``np.linalg.inv(matrix)`` in float64,
+    cast once).  Returns a :class:`WarpRings` of traced arrays — drop-in
+    for :func:`steering_gaussian_warp_rings` (Gaussian only: the
+    amplified-linear branch masks require float64 boundary decisions and
+    stay host-built).
+    """
+    inh, inw = (int(v) for v in in_sz)
+    oh, ow = (int(v) for v in out_sz)
+    eps = jnp.float32(np.finfo(np.float32).eps)
+    inv = jnp.asarray(inv, jnp.float32)
+    xs = jnp.arange(ow, dtype=jnp.float32)           # width coord, per col
+    ys = jnp.arange(oh, dtype=jnp.float32)[:, None]  # height coord, per row
+    den = (inv[2, 0] * xs + inv[2, 2]) + inv[2, 1] * ys
+    sx = ((inv[0, 0] * xs + inv[0, 2]) + inv[0, 1] * ys) / den
+    sy = ((inv[1, 0] * xs + inv[1, 2]) + inv[1, 1] * ys) / den
+    grid_x = jnp.clip(sy, 0.0, float(inh))           # [oh, ow] row coord
+    grid_y = jnp.clip(sx, 0.0, float(inw))           # col coord
+
+    def axis(grid, in_n):
+        # _serving_axis, in-program: left/pad0/clip arithmetic on values
+        # < 2^24 is exact in f32
+        left = jnp.ceil(grid - 1.0 - eps)
+        pad0 = jnp.maximum(-left[0, 0], 0.0)         # first-pixel quirk
+        shifted = grid + pad0
+        dis = jnp.stack(
+            [shifted - jnp.clip(left + (j + pad0), 0.0, float(in_n - 1))
+             for j in range(2)], axis=-1).reshape(-1, 2)
+        corner = (left + (pad0 + 1.0)).astype(jnp.int32)
+        q = jnp.arange(in_n + 4, dtype=jnp.int32)
+        ring = jnp.clip(q - 1, 0, in_n - 1) - pad0.astype(jnp.int32) + 1
+        return corner, ring, dis
+
+    cx, ring_x, dis_x = axis(grid_x, inh)
+    cy, ring_y, dis_y = axis(grid_y, inw)
+    corner = (cx * (inw + 3) + cy).reshape(-1)
+    return WarpRings(ring_x, ring_y, corner, dis_x, dis_y)
+
+
+def nearest_warp_mask_on_device(inv, in_sz, out_sz, border: int = 4):
+    """In-program validity mask for device-geometry warp serving: the
+    arithmetic form of the support-1 box warp of the border-shaved white
+    frame (same reduction as ``warp_serving_host_fused``'s mask — both box
+    factors 1 AND the clipped nearest index inside the white region), with
+    the f32 grid shared with :func:`warp_rings_on_device`'s caveats.
+    Returns [outH, outW] bool."""
+    inh, inw = (int(v) for v in in_sz)
+    oh, ow = (int(v) for v in out_sz)
+    eps = jnp.float32(np.finfo(np.float32).eps)
+    inv = jnp.asarray(inv, jnp.float32)
+    xs = jnp.arange(ow, dtype=jnp.float32)
+    ys = jnp.arange(oh, dtype=jnp.float32)[:, None]
+    den = (inv[2, 0] * xs + inv[2, 2]) + inv[2, 1] * ys
+    sx = ((inv[0, 0] * xs + inv[0, 2]) + inv[0, 1] * ys) / den
+    sy = ((inv[1, 0] * xs + inv[1, 2]) + inv[1, 1] * ys) / den
+    grid_x = jnp.clip(sy, 0.0, float(inh))
+    grid_y = jnp.clip(sx, 0.0, float(inw))
+
+    def axis(grid, in_n):
+        left = jnp.ceil(grid - 0.5 - eps)            # support-1 FOV
+        pad0 = jnp.maximum(-left[0, 0], 0.0)
+        idx = jnp.clip(left + pad0, 0.0, float(in_n - 1))
+        d = (grid + pad0) - idx
+        # box(d) == 1 ⇔ d ∈ [-1, 1] (interp_kernels.box — support [-1, 1],
+        # closed above: interp_methods.py:68-70)
+        inside = (-1.0 <= d) & (d <= 1.0)
+        src = idx - pad0                             # unpadded source index
+        white = (src >= border) & (src <= in_n - 1 - border)
+        return inside & white
+
+    return axis(grid_x, inh) & axis(grid_y, inw)
+
+
 def nearest_warp_mask_host(in_sz, matrix, out_sz, border: int = 4):
     """Host-numpy :func:`nearest_warp_mask` for dynamic-warp serving (the
     mask geometry is matrix-dependent, so the dynamic path computes it on

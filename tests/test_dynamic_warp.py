@@ -371,3 +371,41 @@ def test_warp_dynamic_fallback_outside_deploy_config(monkeypatch):
     img = np.zeros((8, 8, 3), np.uint8)
     assert pred.warp_dynamic(img, np.eye(3), (8, 8)) == ("out", "mask")
     assert called
+
+
+def test_warp_device_geometry_close_to_host():
+    """Device-geometry warp (rings + mask computed in-program from the
+    traced 3×3 inverse — ops.resample.warp_rings_on_device): NOT bit-equal
+    to the float64 host-geometry path (f32 projective divide can flip
+    ceil/box boundaries at ~1e-4 px), but the agreement must be near-total:
+    mask mismatches and pixel disagreements are boundary events, bounded
+    here at the per-mille level, with >1-LSB deltas only where a gather
+    window shifted (rare).  One program serves every matrix."""
+    pred = _lut_predictor()
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
+    for m in _matrices()[:3]:
+        want_out, want_mask = pred.warp_dynamic(img, m, OUT_SZ)
+        got_out, got_mask = pred.warp_device(img, m, OUT_SZ)
+        assert (got_mask != want_mask).mean() < 2e-3, m
+        both = (got_mask & want_mask)[:, :, None]
+        diff = np.abs(got_out.astype(np.int32) - want_out.astype(np.int32))
+        diff = diff * both
+        assert (diff > 1).mean() < 5e-3, (m, (diff > 1).mean())
+        assert (diff != 0).mean() < 5e-2, (m, (diff != 0).mean())
+    assert sum(1 for k in pred._warp_dyn_cache
+               if k[0] == "devgeo") == 1      # one program, three matrices
+
+
+def test_warp_batch_device_geometry_matches_single():
+    """The batched device-geometry form must equal per-frame warp_device
+    exactly (same in-program geometry, vmapped)."""
+    pred = _lut_predictor()
+    rng = np.random.RandomState(10)
+    imgs = rng.randint(0, 256, (2, *IN_SZ, 3), dtype=np.uint8)
+    mats = np.stack(_matrices()[:2])
+    out, mask = pred.warp_batch(imgs, mats, OUT_SZ, geometry="device")
+    for i in range(2):
+        w_out, w_mask = pred.warp_device(imgs[i], mats[i], OUT_SZ)
+        np.testing.assert_array_equal(out[i], w_out)
+        np.testing.assert_array_equal(mask[i], w_mask)
