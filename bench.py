@@ -352,23 +352,28 @@ def bench_bucketed(h, w, scale=SCALE, iters=40, granularity=64):
     return times[len(times) // 2], len(shapes)
 
 
+def _load_bank():
+    """Shipped LeRF-G bank when available; random (same shapes) otherwise."""
+    from lerf_tpu.lut.io import LUTBank
+
+    try:
+        from lerf_tpu.lut.io import load_lut_bank
+        return load_lut_bank("/root/reference/models/lerf-g", out_c=3)
+    except Exception:
+        s1, s2 = load_flat_luts()
+        return LUTBank(stage1={m: v.astype(np.int8) for m, v in s1.items()},
+                       stage2={k: v.astype(np.int8) for k, v in s2.items()},
+                       out_c=3)
+
+
 def bench_warp_dynamic(h, w, scale=SCALE, iters=40, n_matrices=6):
     """Dynamic-homography serving (LutPredictor.warp_dynamic): p50 ms/frame
     across DISTINCT homographies through ONE compiled program — the
     per-matrix path pays a fresh XLA gather compile for every new matrix;
     here a new matrix costs only the host float64 geometry precompute."""
-    from lerf_tpu.lut.io import LUTBank
     from lerf_tpu.pipeline import LutPredictor
 
-    try:
-        from lerf_tpu.lut.io import load_lut_bank
-        bank = load_lut_bank("/root/reference/models/lerf-g", out_c=3)
-    except Exception:
-        s1, s2 = load_flat_luts()
-        bank = LUTBank(stage1={m: v.astype(np.int8) for m, v in s1.items()},
-                       stage2={k: v.astype(np.int8) for k, v in s2.items()},
-                       out_c=3)
-    pred = LutPredictor(bank)
+    pred = LutPredictor(_load_bank())
     out_hw = (h * scale, w * scale)
     rng = np.random.RandomState(0)
     img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
@@ -388,6 +393,35 @@ def bench_warp_dynamic(h, w, scale=SCALE, iters=40, n_matrices=6):
     return times[len(times) // 2], n_matrices
 
 
+def bench_warp_devgeo(h, w, scale=SCALE, iters=40, n_matrices=6):
+    """DEVICE-GEOMETRY dynamic warp (LutPredictor.warp_device): p50
+    ms/frame across distinct homographies — the per-frame matrix operand
+    is the 3×3 inverse alone (vs ~20 B/output-px of corner+distance rings)
+    and the host geometry precompute disappears; rings + validity mask are
+    computed in-program (ops.resample.warp_rings_on_device; f32 quality
+    tax measured in tools/exp_device_geometry.py / BASELINE.md)."""
+    from lerf_tpu.pipeline import LutPredictor
+
+    pred = LutPredictor(_load_bank())
+    out_hw = (h * scale, w * scale)
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    mats = [np.eye(3) + rng.randn(3, 3)
+            * np.array([[.05, .05, 4.0], [.05, .05, 4.0], [1e-4, 1e-4, 0.0]])
+            for _ in range(n_matrices)]
+    for m in mats[:2]:                                  # compile + warm
+        pred.warp_device(img, m, out_hw)
+    assert len(pred._warp_dyn_cache) == 1, "matrices must share one program"
+    times = []
+    for i in range(iters):
+        m = mats[i % len(mats)]
+        t0 = time.perf_counter()
+        pred.warp_device(img, m, out_hw)
+        times.append((time.perf_counter() - t0) * 1e3)
+    times.sort()
+    return times[len(times) // 2], n_matrices
+
+
 def bench_warp_stream(h, w, scale=SCALE, frames=24, n_matrices=6, depth=2):
     """Pipelined dynamic-warp serving (lerf_tpu.serve.stream_warp): sustained
     output MP/s over a stream of DISTINCT homographies with frame k+1's host
@@ -395,19 +429,10 @@ def bench_warp_stream(h, w, scale=SCALE, frames=24, n_matrices=6, depth=2):
     D2H copy (bounded in-flight queue over warp_dynamic_async).  Returns
     (stream MP/s, gain vs the strictly sequential warp_dynamic loop on the
     SAME stream)."""
-    from lerf_tpu.lut.io import LUTBank
     from lerf_tpu.pipeline import LutPredictor
     from lerf_tpu.serve import stream_warp
 
-    try:
-        from lerf_tpu.lut.io import load_lut_bank
-        bank = load_lut_bank("/root/reference/models/lerf-g", out_c=3)
-    except Exception:
-        s1, s2 = load_flat_luts()
-        bank = LUTBank(stage1={m: v.astype(np.int8) for m, v in s1.items()},
-                       stage2={k: v.astype(np.int8) for k, v in s2.items()},
-                       out_c=3)
-    pred = LutPredictor(bank)
+    pred = LutPredictor(_load_bank())
     out_hw = (h * scale, w * scale)
     rng = np.random.RandomState(0)
     img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
@@ -429,23 +454,17 @@ def bench_warp_stream(h, w, scale=SCALE, frames=24, n_matrices=6, depth=2):
     return mps, t_seq / t_pipe
 
 
-def bench_warp_batch(h, w, scale=SCALE, iters=20, batch=4):
+def bench_warp_batch(h, w, scale=SCALE, iters=20, batch=4,
+                     geometry="host"):
     """Batched warp serving (LutPredictor.warp_batch): B frames with
     DISTINCT per-frame homographies through ONE device program.  Returns
     output MP/s across the batch (end-to-end, incl. per-frame host
-    precompute + transfers)."""
-    from lerf_tpu.lut.io import LUTBank
+    precompute + transfers).  ``geometry="device"`` runs the in-program-
+    geometry form (B·9-float matrix operand instead of B per-frame rings
+    stacks — the transfer-bound case's escape hatch)."""
     from lerf_tpu.pipeline import LutPredictor
 
-    try:
-        from lerf_tpu.lut.io import load_lut_bank
-        bank = load_lut_bank("/root/reference/models/lerf-g", out_c=3)
-    except Exception:
-        s1, s2 = load_flat_luts()
-        bank = LUTBank(stage1={m: v.astype(np.int8) for m, v in s1.items()},
-                       stage2={k: v.astype(np.int8) for k, v in s2.items()},
-                       out_c=3)
-    pred = LutPredictor(bank)
+    pred = LutPredictor(_load_bank())
     out_hw = (h * scale, w * scale)
     rng = np.random.RandomState(0)
     imgs = rng.randint(0, 256, (batch, h, w, 3), dtype=np.uint8)
@@ -453,10 +472,10 @@ def bench_warp_batch(h, w, scale=SCALE, iters=20, batch=4):
                      * np.array([[.05, .05, 4.0], [.05, .05, 4.0],
                                  [1e-4, 1e-4, 0.0]]) for _ in range(batch)])
     for _ in range(2):                                  # compile + warm
-        pred.warp_batch(imgs, mats, out_hw)
+        pred.warp_batch(imgs, mats, out_hw, geometry=geometry)
     t0 = time.perf_counter()
     for _ in range(iters):
-        pred.warp_batch(imgs, mats, out_hw)
+        pred.warp_batch(imgs, mats, out_hw, geometry=geometry)
     dt = (time.perf_counter() - t0) / iters
     return batch * out_hw[0] * out_hw[1] / 1e6 / dt
 
@@ -470,18 +489,9 @@ def bench_sr_dynamic(h, w, iters=40, granularity=64,
     The per-scale path pays a fresh XLA compile for every new scale (and
     the S²-gather program for non-periodic ones); here a new scale costs
     two O(out) 1-D host passes."""
-    from lerf_tpu.lut.io import LUTBank
     from lerf_tpu.pipeline import LutPredictor
 
-    try:
-        from lerf_tpu.lut.io import load_lut_bank
-        bank = load_lut_bank("/root/reference/models/lerf-g", out_c=3)
-    except Exception:
-        s1, s2 = load_flat_luts()
-        bank = LUTBank(stage1={m: v.astype(np.int8) for m, v in s1.items()},
-                       stage2={k: v.astype(np.int8) for k, v in s2.items()},
-                       out_c=3)
-    pred = LutPredictor(bank)
+    pred = LutPredictor(_load_bank())
     rng = np.random.RandomState(0)
     img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
     for s in scales:                                    # compile + warm
@@ -577,75 +587,179 @@ def _wait_for_tpu(budget_s=None, poll_s=30.0):
         time.sleep(poll_s)
 
 
+def fam_headline():
+    s1, s2 = load_luts()
+    emit("lerf_g_lut_sr_x4_throughput", bench_lut_sr(s1, s2, LR_H, LR_W),
+         REF_NUMPY_MPS)
+
+
+def fam_sr_4k():
+    s1, s2 = load_luts()
+    emit("lerf_g_lut_sr_4k_throughput",
+         bench_lut_sr(s1, s2, 720, 1280))               # 2880×5120 output
+
+
+def fam_warp():
+    s1, s2 = load_luts()
+    emit("lerf_g_lut_warp_x4_throughput",
+         bench_lut_warp(s1, s2, LR_H, LR_W), REF_NUMPY_WARP_MPS)
+
+
+def fam_net_sr():
+    emit("lerf_g_net_sr_x4_f32_throughput",
+         bench_net_sr(LR_H, LR_W, dtype="float32"), REF_NUMPY_MPS)
+    emit("lerf_g_net_sr_x4_bf16_throughput",
+         bench_net_sr(LR_H, LR_W, dtype="bfloat16"), REF_NUMPY_MPS)
+    emit("lerf_g_net_sr_x4_f32_xla_throughput",
+         bench_net_sr(LR_H, LR_W, dtype="float32", backend="xla"),
+         REF_NUMPY_MPS)
+    emit("lerf_g_net_sr_x4_bf16_batch4_throughput",
+         bench_net_sr(LR_H, LR_W, dtype="bfloat16", batch=4),
+         REF_NUMPY_MPS)
+
+
+def fam_imdn():
+    emit("lerf_net_imdn_sr_x4_bf16_throughput",
+         bench_imdn_sr(LR_H, LR_W, dtype="bfloat16"), REF_NUMPY_MPS)
+
+
+def fam_train():
+    # the 40× in-process-after-4K-benches artifact (BASELINE round-4) is
+    # structurally impossible now: every family gets a fresh process
+    emit("lerf_g_train_step_throughput", bench_train(),
+         unit="train_steps_per_sec")
+
+
+def fam_latency():
+    for form in ("lut", "net"):
+        p50, p99 = bench_latency(form, LR_H, LR_W)
+        emit(f"lerf_g_{form}_sr_x4_latency_p50", p50, unit="ms")
+        emit(f"lerf_g_{form}_sr_x4_latency_p99", p99, unit="ms")
+
+
+def fam_bucketed():
+    p50, nshapes = bench_bucketed(LR_H, LR_W)
+    emit("lerf_g_lut_sr_x4_bucketed_mixed_shape_latency_p50", p50,
+         unit=f"ms_across_{nshapes}_shapes_one_program")
+
+
+def fam_warp_dynamic():
+    p50, nmats = bench_warp_dynamic(LR_H, LR_W)
+    emit("lerf_g_lut_warp_x4_dynamic_matrix_latency_p50", p50,
+         unit=f"ms_across_{nmats}_homographies_one_program")
+    p50, nmats = bench_warp_devgeo(LR_H, LR_W)
+    emit("lerf_g_lut_warp_x4_devgeo_matrix_latency_p50", p50,
+         unit=f"ms_across_{nmats}_homographies_one_program")
+
+
+def fam_stream():
+    mps, gain = bench_warp_stream(LR_H, LR_W)
+    emit("lerf_g_lut_warp_dynamic_stream_throughput", mps,
+         REF_NUMPY_WARP_MPS)
+    emit("lerf_g_lut_warp_dynamic_stream_overlap_gain", gain,
+         unit="x_vs_sequential_loop")
+
+
+def fam_x355():
+    # non-periodic scale (×3.55, rational period 71 > MAX_FOV_PERIOD):
+    # the static baked-gather path vs the traced-geometry rings program
+    s1, s2 = load_luts()
+    emit("lerf_g_lut_sr_x3.55_gather_throughput",
+         bench_lut_sr(s1, s2, LR_H, LR_W, scale=3.55), REF_NUMPY_MPS)
+    emit("lerf_g_lut_sr_x3.55_rings_throughput",
+         bench_lut_sr_rings(s1, s2, LR_H, LR_W, 3.55), REF_NUMPY_MPS)
+    p50, nscales = bench_sr_dynamic(LR_H, LR_W)
+    emit("lerf_g_lut_sr_dynamic_scale_latency_p50", p50,
+         unit=f"ms_across_{nscales}_scales_bucket_programs")
+
+
+def fam_warp_batch():
+    emit("lerf_g_lut_warp_x4_batch4_distinct_matrices_throughput",
+         bench_warp_batch(LR_H, LR_W), REF_NUMPY_WARP_MPS)
+    emit("lerf_g_lut_warp_x4_batch4_devgeo_throughput",
+         bench_warp_batch(LR_H, LR_W, geometry="device"),
+         REF_NUMPY_WARP_MPS)
+
+
+def fam_big_dynamic():
+    # 4K-class dynamic points (720×1280 in, ×3.55 → 2556×4544 out) and
+    # the anti-aliased downscale serving form (1440p in, ×0.5)
+    s1, s2 = load_luts()
+    emit("lerf_g_lut_sr_4k_x3.55_gather_throughput",
+         bench_lut_sr(s1, s2, 720, 1280, scale=3.55), REF_NUMPY_MPS)
+    emit("lerf_g_lut_sr_4k_x3.55_rings_throughput",
+         bench_lut_sr_rings(s1, s2, 720, 1280, 3.55), REF_NUMPY_MPS)
+    emit("lerf_g_lut_sr_x0.5_aa_rings_throughput",
+         bench_lut_sr_rings(s1, s2, 1440, 2560, 0.5), REF_NUMPY_MPS)
+    # static per-shape AA companion point (tax table, BASELINE r4:
+    # 1.501 vs 1.486 rings — recompile freedom ~1% for AA downscales)
+    emit("lerf_g_lut_sr_x0.5_aa_static_throughput",
+         bench_lut_sr(s1, s2, 1440, 2560, 0.5), REF_NUMPY_MPS)
+
+
+#: --all runs each family in a FRESH SUBPROCESS (default): round 4 caught
+#: an in-process ordering artifact (bench_train read 40× slow after the 4K
+#: benches) and fixed it point-wise in tools/exp_dynamic_tax.py; this is
+#: that fix as policy — no family's device/allocator state can leak into
+#: another's numbers.  `--one <family>` runs one family in-process (what
+#: the subprocesses invoke); `--inprocess` restores the old single-process
+#: sweep for debugging.
+FAMILIES = [
+    ("headline", fam_headline),
+    ("sr_4k", fam_sr_4k),
+    ("warp", fam_warp),
+    ("net_sr", fam_net_sr),
+    ("imdn", fam_imdn),
+    ("train", fam_train),
+    ("latency", fam_latency),
+    ("bucketed", fam_bucketed),
+    ("warp_dynamic", fam_warp_dynamic),
+    ("stream", fam_stream),
+    ("x355", fam_x355),
+    ("warp_batch", fam_warp_batch),
+    ("big_dynamic", fam_big_dynamic),
+]
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
+    if "--one" in argv:
+        name = argv[argv.index("--one") + 1]
+        fn = dict(FAMILIES)[name]
+        _wait_for_tpu()
+        from lerf_tpu.config import enable_jit_cache
+        enable_jit_cache()
+        fn()
+        return
+
+    if "--all" in argv:
+        if "--inprocess" in argv:
+            _wait_for_tpu()
+            from lerf_tpu.config import enable_jit_cache
+            enable_jit_cache()
+            for _, fn in FAMILIES:
+                fn()
+            return
+        import subprocess
+        failed = []
+        for name, _ in FAMILIES:
+            r = subprocess.run([sys.executable, __file__, "--one", name])
+            if r.returncode != 0:
+                failed.append(name)
+                print(json.dumps({"metric": f"family_{name}_failed",
+                                  "value": r.returncode,
+                                  "unit": "returncode",
+                                  "vs_baseline": None}), flush=True)
+        if failed:
+            sys.exit(1)
+        return
+
     _wait_for_tpu()
     # XLA:TPU gather compiles are minutes-long on this stack; the persistent
     # cache makes them one-time per machine.
     from lerf_tpu.config import enable_jit_cache
     enable_jit_cache()
-
-    s1, s2 = load_luts()
-    emit("lerf_g_lut_sr_x4_throughput", bench_lut_sr(s1, s2, LR_H, LR_W),
-         REF_NUMPY_MPS)
-
-    if "--all" in argv:
-        emit("lerf_g_lut_sr_4k_throughput",
-             bench_lut_sr(s1, s2, 720, 1280))          # 2880×5120 output
-        emit("lerf_g_lut_warp_x4_throughput",
-             bench_lut_warp(s1, s2, LR_H, LR_W), REF_NUMPY_WARP_MPS)
-        emit("lerf_g_net_sr_x4_f32_throughput",
-             bench_net_sr(LR_H, LR_W, dtype="float32"), REF_NUMPY_MPS)
-        emit("lerf_g_net_sr_x4_bf16_throughput",
-             bench_net_sr(LR_H, LR_W, dtype="bfloat16"), REF_NUMPY_MPS)
-        emit("lerf_g_net_sr_x4_f32_xla_throughput",
-             bench_net_sr(LR_H, LR_W, dtype="float32", backend="xla"),
-             REF_NUMPY_MPS)
-        emit("lerf_net_imdn_sr_x4_bf16_throughput",
-             bench_imdn_sr(LR_H, LR_W, dtype="bfloat16"), REF_NUMPY_MPS)
-        emit("lerf_g_net_sr_x4_bf16_batch4_throughput",
-             bench_net_sr(LR_H, LR_W, dtype="bfloat16", batch=4),
-             REF_NUMPY_MPS)
-        emit("lerf_g_train_step_throughput", bench_train(),
-             unit="train_steps_per_sec")
-        for form in ("lut", "net"):
-            p50, p99 = bench_latency(form, LR_H, LR_W)
-            emit(f"lerf_g_{form}_sr_x4_latency_p50", p50, unit="ms")
-            emit(f"lerf_g_{form}_sr_x4_latency_p99", p99, unit="ms")
-        p50, nshapes = bench_bucketed(LR_H, LR_W)
-        emit("lerf_g_lut_sr_x4_bucketed_mixed_shape_latency_p50", p50,
-             unit=f"ms_across_{nshapes}_shapes_one_program")
-        p50, nmats = bench_warp_dynamic(LR_H, LR_W)
-        emit("lerf_g_lut_warp_x4_dynamic_matrix_latency_p50", p50,
-             unit=f"ms_across_{nmats}_homographies_one_program")
-        mps, gain = bench_warp_stream(LR_H, LR_W)
-        emit("lerf_g_lut_warp_dynamic_stream_throughput", mps,
-             REF_NUMPY_WARP_MPS)
-        emit("lerf_g_lut_warp_dynamic_stream_overlap_gain", gain,
-             unit="x_vs_sequential_loop")
-        # non-periodic scale (×3.55, rational period 71 > MAX_FOV_PERIOD):
-        # the static baked-gather path vs the traced-geometry rings program
-        emit("lerf_g_lut_sr_x3.55_gather_throughput",
-             bench_lut_sr(s1, s2, LR_H, LR_W, scale=3.55), REF_NUMPY_MPS)
-        emit("lerf_g_lut_sr_x3.55_rings_throughput",
-             bench_lut_sr_rings(s1, s2, LR_H, LR_W, 3.55), REF_NUMPY_MPS)
-        p50, nscales = bench_sr_dynamic(LR_H, LR_W)
-        emit("lerf_g_lut_sr_dynamic_scale_latency_p50", p50,
-             unit=f"ms_across_{nscales}_scales_bucket_programs")
-        emit("lerf_g_lut_warp_x4_batch4_distinct_matrices_throughput",
-             bench_warp_batch(LR_H, LR_W), REF_NUMPY_WARP_MPS)
-        # 4K-class dynamic points (720×1280 in, ×3.55 → 2556×4544 out) and
-        # the anti-aliased downscale serving form (1440p in, ×0.5)
-        emit("lerf_g_lut_sr_4k_x3.55_gather_throughput",
-             bench_lut_sr(s1, s2, 720, 1280, scale=3.55), REF_NUMPY_MPS)
-        emit("lerf_g_lut_sr_4k_x3.55_rings_throughput",
-             bench_lut_sr_rings(s1, s2, 720, 1280, 3.55), REF_NUMPY_MPS)
-        emit("lerf_g_lut_sr_x0.5_aa_rings_throughput",
-             bench_lut_sr_rings(s1, s2, 1440, 2560, 0.5), REF_NUMPY_MPS)
-        # static per-shape AA companion point (tax table, BASELINE r4:
-        # 1.501 vs 1.486 rings — recompile freedom ~1% for AA downscales)
-        emit("lerf_g_lut_sr_x0.5_aa_static_throughput",
-             bench_lut_sr(s1, s2, 1440, 2560, 0.5), REF_NUMPY_MPS)
+    fam_headline()
 
 
 if __name__ == "__main__":

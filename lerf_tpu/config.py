@@ -49,11 +49,21 @@ def enable_jit_cache():
         # Persist sub-second compiles too: the test suite is ~250 tests
         # whose many small executables otherwise recompile every session.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        # Bound the dir (LRU eviction): persisting every small compile with
-        # per-host-fingerprint dirs would otherwise grow without limit;
-        # dirs orphaned by host migrations (~/.cache/jax_comp_<old fp>) are
-        # each bounded too — prune those manually if they accumulate.
-        jax.config.update("jax_compilation_cache_max_size", 4 * 1024 ** 3)
+        # Growth control: persisting every small compile with per-host-
+        # fingerprint dirs grows without limit (full-suite working set is
+        # ~7 GB, 2026-08-21), and dirs orphaned by host migrations
+        # (~/.cache/jax_comp_<old fp>) accumulate — prune stale dirs when
+        # they pile up (`rm -rf ~/.cache/jax_comp_*` minus the live one).
+        # LRU eviction (jax_compilation_cache_max_size) is OPT-IN via
+        # LERF_JIT_CACHE_MAX (bytes) because its per-entry atime tracking
+        # races under concurrent processes — measured here: parallel
+        # pytest runs then fail to persist entries at all ("Error writing
+        # persistent compilation cache entry ... -atime"), which costs far
+        # more than the disk.  Any bound must exceed the working set or
+        # every new entry evicts instantly and the warm cache self-defeats.
+        max_sz = int(os.environ.get("LERF_JIT_CACHE_MAX", "0"))
+        if max_sz > 0:
+            jax.config.update("jax_compilation_cache_max_size", max_sz)
 
 
 @dataclasses.dataclass
