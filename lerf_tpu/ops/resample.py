@@ -1429,6 +1429,71 @@ def _axis_resize_by_convs(x, out_sz: int, frac, kernel: str,
     return out[tuple(idx)]
 
 
+def _pad1d_last(x, pad0: int, pad1: int, pad_mode: str):
+    """Pad (or crop, for negative pads) the LAST axis."""
+    if pad0 < 0:
+        x = x[..., -pad0:]
+        pad0 = 0
+    if pad1 < 0:
+        x = x[..., :pad1]
+        pad1 = 0
+    if pad0 == 0 and pad1 == 0:
+        return x
+    cfg = [(0, 0)] * (x.ndim - 1) + [(pad0, pad1)]
+    mode = {"constant": "constant", "edge": "edge",
+            "replicate": "edge"}[pad_mode]
+    return jnp.pad(x, cfg, mode=mode)
+
+
+def _axis_resize_generic(x, out_n: int, sf: float, kernel: str,
+                         antialiasing: bool, pad_mode: str, axis: int):
+    """1-D separable resize along ``axis`` — the vendored resize_right's
+    per-dim step (resize_right.py:76-127): per-dim antialias scale (NOT the
+    2-D joint path's min-scale), per-dim weight normalization
+    (resize_right.py:208-218), float64 host weights."""
+    from .geometry import _resize_axis
+
+    in_n = x.shape[axis]
+    base = _KERNEL_SUPPORT[kernel]
+    m = float(sf) if (antialiasing and sf < 1.0) else 1.0
+    support = int(np.ceil(base / m))
+    fov, dis, (pad0, pad1) = _resize_axis(in_n, out_n, sf, support)
+    kern1d = interp_kernels.NP_KERNELS_1D[kernel]
+    w = kern1d(m * dis)                       # [out, S] float64
+    w = w / w.sum(-1, keepdims=True)          # per-dim normalize
+    x = jnp.moveaxis(x, axis, -1)
+    xp = _pad1d_last(x, pad0, pad1, pad_mode)
+    g = jnp.take(xp, jnp.asarray(fov), axis=-1)        # [..., out, S]
+    out = jnp.sum(g * jnp.asarray(w, x.dtype), axis=-1)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def _resolve_nd_spec(in_shape, scale_factors, out_shape):
+    """Full-length (per-dim) scale/out lists from partial specs, trailing-
+    dims convention (the vendored reference's torch convention,
+    resize_right.py:292-318 — our arrays are [..., C, H, W]-style, so
+    leading-dims defaulting would resize channels)."""
+    from math import ceil as _ceil
+
+    nd = len(in_shape)
+    if scale_factors is None and out_shape is None:
+        raise ValueError("need scale_factors and/or out_shape")
+    if out_shape is not None:
+        out_shape = list(in_shape[:nd - len(out_shape)]) \
+            + [int(v) for v in out_shape]
+        if scale_factors is None:
+            scale_factors = [o / i for o, i in zip(out_shape, in_shape)]
+    if scale_factors is not None:
+        if not isinstance(scale_factors, (list, tuple)):
+            scale_factors = [scale_factors, scale_factors]
+        scale_factors = [1.0] * (nd - len(scale_factors)) \
+            + [float(s) for s in scale_factors]
+        if out_shape is None:
+            out_shape = [_ceil(s * i)
+                         for s, i in zip(scale_factors, in_shape)]
+    return scale_factors, out_shape
+
+
 def resize(img, scale_factors=None, out_shape=None, *,
            interp_method: str = "cubic", antialiasing: bool = True,
            pad_mode: str = "constant", by_convs: bool = False,
@@ -1436,9 +1501,14 @@ def resize(img, scale_factors=None, out_shape=None, *,
     """ResizeRight-style convenience API (vendored ``resize_right.py:36-127``
     in the reference; used there to prepare benchmark LR data).
 
-    img: [..., H, W]; scale/out_shape spatial-only.  Equivalent to building
-    a :class:`ResizeGeometry` with the kernel's support and anti-aliased
-    downscaling, then :func:`fixed_kernel_resize`.
+    img: [..., H, W] with scale/out_shape spatial (≤2 entries) takes the
+    oracle-tested 2-D path: a :class:`ResizeGeometry` with the kernel's
+    support and anti-aliased downscaling through
+    :func:`fixed_kernel_resize`.  A spec LONGER than 2 entries resizes
+    arbitrary dims like the vendored N-D original (trailing-dims
+    convention — resize_right.py:292-318's torch branch): each scaled dim
+    is resized independently in ascending-scale order with per-dim
+    antialiasing and per-dim weight normalization.
 
     ``by_convs=True`` mirrors the reference's strided-conv fast path for
     rational scales (resize_right.py:221-281): scales are snapped to exact
@@ -1449,6 +1519,16 @@ def resize(img, scale_factors=None, out_shape=None, *,
     back to the generic path — all exactly like the reference.
     """
     from fractions import Fraction
+
+    spec_len = max(
+        len(scale_factors) if isinstance(scale_factors, (list, tuple)) else 1,
+        len(out_shape) if out_shape is not None else 1)
+    if spec_len > 2:
+        return _resize_nd(img, scale_factors, out_shape,
+                          interp_method=interp_method,
+                          antialiasing=antialiasing, pad_mode=pad_mode,
+                          by_convs=by_convs, max_numerator=max_numerator,
+                          scale_tolerance=scale_tolerance)
 
     support = _KERNEL_SUPPORT[interp_method]
     in_hw = img.shape[-2:]
@@ -1488,6 +1568,43 @@ def resize(img, scale_factors=None, out_shape=None, *,
                 out_sz=tuple(sz), support=support, antialias=antialiasing)
             out = fixed_kernel_resize(out, geom, interp_method,
                                       pad_mode=pad_mode)
+    return out
+
+
+def _resize_nd(img, scale_factors, out_shape, *, interp_method: str,
+               antialiasing: bool, pad_mode: str, by_convs: bool,
+               max_numerator: int, scale_tolerance):
+    """N-D generic resize — the vendored ``resize_right.py:36-127`` dim
+    loop: resolve full-length specs, sort scaled dims ascending, resize
+    each independently (per-phase strided correlations when ``by_convs``
+    snaps the dim's scale to an exact fraction, else the separable
+    1-D gather)."""
+    from fractions import Fraction
+
+    scale_factors, out_shape = _resolve_nd_spec(img.shape, scale_factors,
+                                                out_shape)
+    tol = np.finfo(np.float32).eps if scale_tolerance is None \
+        else scale_tolerance
+    out = img
+    order = sorted(range(img.ndim), key=lambda d: scale_factors[d])
+    for d in order:
+        sf = scale_factors[d]
+        if sf == 1.0 and out_shape[d] == out.shape[d]:
+            continue
+        use_convs = False
+        if by_convs:
+            frac = Fraction(1.0 / sf).limit_denominator(max_numerator)
+            frac = Fraction(frac.denominator, frac.numerator)
+            use_convs = abs(float(frac) - sf) < tol
+        if use_convs:
+            moved = jnp.moveaxis(out, d, -1)
+            moved = _axis_resize_by_convs(moved, out_shape[d], frac,
+                                          interp_method, antialiasing,
+                                          pad_mode, -1)
+            out = jnp.moveaxis(moved, -1, d)
+        else:
+            out = _axis_resize_generic(out, out_shape[d], sf, interp_method,
+                                       antialiasing, pad_mode, d)
     return out
 
 

@@ -105,3 +105,57 @@ def test_by_convs_irrational_falls_back():
     b = np.asarray(resize(img, scale_factors=[s, 2.0]))
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=5e-3)
+
+
+@requires_reference
+@pytest.mark.parametrize("kernel", ["cubic", "linear"])
+def test_resize_nd_matches_resize_right(kernel):
+    """Specs LONGER than 2 dims route through the N-D per-dim loop
+    (vendored resize_right semantics: ascending-scale dim order, per-dim
+    antialias, per-dim weight normalization) — here a 3-D volume resized
+    on ALL dims, mixed up/down/fractional."""
+    rr = ref_resize_right()
+    from resize_right import interp_methods as im
+
+    r = np.random.RandomState(1)
+    vol = (r.rand(7, 24, 36) * 255).astype(np.float64)
+    spec = [0.5, 1.3, 2.0]
+    want = rr.resize(vol, scale_factors=spec,
+                     interp_method=getattr(im, kernel),
+                     pad_mode="constant")
+    got = np.asarray(resize(jnp.asarray(vol, jnp.float32),
+                            scale_factors=spec, interp_method=kernel))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-3)
+
+
+@requires_reference
+def test_resize_nd_out_shape_and_by_convs():
+    """N-D out_shape spec + by_convs on a non-spatial dim: exact-fraction
+    snapping applies per dim, matching the vendored by_convs output."""
+    rr = ref_resize_right()
+    from resize_right import interp_methods as im
+
+    import torch
+
+    r = np.random.RandomState(2)
+    vol = (r.rand(8, 20, 30) * 255).astype(np.float64)
+    # the reference's by_convs path is torch-only (fw_conv's numpy branch
+    # is an unimplemented TODO, resize_right.py:404-418) — run the oracle
+    # on a torch tensor; a full-length spec makes the framework dim
+    # conventions coincide
+    want = rr.resize(torch.from_numpy(vol).float(),
+                     scale_factors=[0.5, 2.0, 1.5],
+                     interp_method=im.cubic, pad_mode="constant",
+                     by_convs=True).numpy()
+    got = np.asarray(resize(jnp.asarray(vol, jnp.float32),
+                            scale_factors=[0.5, 2.0, 1.5],
+                            interp_method="cubic", by_convs=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-3)
+    # trailing-dims convention: a 3-length out_shape resolves against the
+    # trailing 3 dims of a 4-D batch
+    batch = (r.rand(2, 8, 20, 30) * 255).astype(np.float64)
+    got4 = np.asarray(resize(jnp.asarray(batch, jnp.float32),
+                             out_shape=[4, 10, 45], interp_method="cubic"))
+    assert got4.shape == (2, 4, 10, 45)
