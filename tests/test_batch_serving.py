@@ -5,6 +5,7 @@ import pytest
 import jax
 
 from lerf_tpu.lut.io import LUTBank
+from conftest import shared_lut_predictor
 from lerf_tpu.parallel import make_mesh
 from lerf_tpu.pipeline import LutPredictor
 
@@ -21,8 +22,7 @@ def random_bank(seed=0):
 
 
 def test_batch_matches_single():
-    bank = random_bank()
-    pred = LutPredictor(bank)
+    pred = shared_lut_predictor()
     rng = np.random.RandomState(1)
     imgs = rng.randint(0, 256, (2, 10, 12, 3), dtype=np.uint8)
     batch = pred.upscale_batch(imgs, 2, 2)
@@ -36,9 +36,8 @@ def test_batch_sharded_over_mesh():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     mesh = make_mesh(8)
-    bank = random_bank(seed=2)
-    pred = LutPredictor(bank, mesh=mesh)
-    pred_ref = LutPredictor(bank)
+    pred_ref = shared_lut_predictor()
+    pred = LutPredictor(pred_ref.bank, mesh=mesh)
     rng = np.random.RandomState(3)
     imgs = rng.randint(0, 256, (8, 8, 10, 3), dtype=np.uint8)
     got = pred.upscale_batch(imgs, 3, 3)
@@ -52,8 +51,8 @@ def test_net_batch_matches_single():
     from lerf_tpu.models import srnet
     from lerf_tpu.pipeline import NetPredictor
 
-    params = srnet.init_lerf_nets(_jax.random.PRNGKey(3), out_c=3)
-    pred = NetPredictor.from_srnets(params)
+    from conftest import shared_net_predictor as _snp
+    pred = _snp()
     rng = np.random.RandomState(4)
     imgs = rng.randint(0, 256, (2, 10, 12, 3), dtype=np.uint8)
     batch = pred.upscale_batch(imgs, 2, 2)
@@ -71,10 +70,8 @@ def test_imdn_batch_matches_single():
     from lerf_tpu.models.imdn import IMDN2
     from lerf_tpu.pipeline import NetPredictor
 
-    model = IMDN2(in_c=3, out_c=3, nf=8)
-    variables = model.init(_jax.random.PRNGKey(0),
-                           np.zeros((1, 8, 8, 3), np.float32), 0)
-    pred = NetPredictor.from_imdn(model, variables, out_c=3)
+    from conftest import shared_imdn_predictor as _sip
+    pred = _sip()
     rng = np.random.RandomState(7)
     imgs = rng.randint(0, 256, (2, 8, 10, 3), dtype=np.uint8)
     batch = pred.upscale_batch(imgs, 2, 2)
@@ -93,8 +90,7 @@ WARP_MATS = [
 def test_warp_batch_matches_single():
     """Batched warp with DISTINCT per-frame homographies through one
     program must equal per-image warp bit-for-bit (output AND mask)."""
-    bank = random_bank(seed=11)
-    pred = LutPredictor(bank)
+    pred = shared_lut_predictor()
     rng = np.random.RandomState(12)
     imgs = rng.randint(0, 256, (2, 14, 17, 3), dtype=np.uint8)
     out_hw = (20, 18)
@@ -107,12 +103,14 @@ def test_warp_batch_matches_single():
         w_out, w_mask = pred.warp(imgs[b], WARP_MATS[b], out_hw)
         np.testing.assert_array_equal(outs[b], w_out)
         np.testing.assert_array_equal(masks[b], w_mask)
-    assert len([k for k in pred._warp_dyn_cache if k[0] == "batch"]) == 1
+    # key-scoped (shared predictor): ONE batch program for this config
+    assert ("batch", 2, (14, 17), (20, 18)) in pred._warp_dyn_cache
+    assert len([k for k in pred._warp_dyn_cache
+                if k[0] == "batch" and k[2] == (14, 17)]) == 1
 
 
 def test_warp_batch_shared_matrix_broadcast():
-    bank = random_bank(seed=13)
-    pred = LutPredictor(bank)
+    pred = shared_lut_predictor()
     rng = np.random.RandomState(14)
     imgs = rng.randint(0, 256, (2, 12, 13, 3), dtype=np.uint8)
     outs, masks = pred.warp_batch(imgs, WARP_MATS[0], (15, 16))
@@ -126,8 +124,8 @@ def test_net_warp_batch_matches_single():
     from lerf_tpu.models import srnet
     from lerf_tpu.pipeline import NetPredictor
 
-    params = srnet.init_lerf_nets(jax.random.PRNGKey(15), nf=8, out_c=3)
-    pred = NetPredictor.from_srnets(params)
+    from conftest import shared_net_predictor as _snp
+    pred = _snp()
     rng = np.random.RandomState(16)
     imgs = rng.randint(0, 256, (2, 12, 14, 3), dtype=np.uint8)
     out_hw = (16, 15)
@@ -170,8 +168,8 @@ def test_batch_scale1_passthrough():
     from lerf_tpu.models import srnet
     from lerf_tpu.pipeline import NetPredictor
 
-    params = srnet.init_lerf_nets(jax.random.PRNGKey(8), out_c=3)
-    pred = NetPredictor.from_srnets(params)
+    from conftest import shared_net_predictor as _snp
+    pred = _snp()
     rng = np.random.RandomState(9)
     imgs = rng.randint(0, 256, (2, 6, 7, 3), dtype=np.uint8)
     batch = pred.upscale_batch(imgs, 1.0, 1.0)

@@ -9,6 +9,8 @@ import numpy as np
 
 import jax
 
+from conftest import (shared_imdn_predictor, shared_lut_predictor,
+                      shared_net_predictor)
 from lerf_tpu.lut.io import LUTBank
 from lerf_tpu.models import srnet
 from lerf_tpu.pipeline import LutPredictor, NetPredictor
@@ -31,7 +33,7 @@ def make_predictor(seed=0, stages=2):
 
 
 def test_bucketed_bit_exact_and_shared_program():
-    pred = make_predictor()
+    pred = shared_lut_predictor()
     rng = np.random.RandomState(1)
     for h, w in [(11, 13), (16, 9)]:          # both land in the (16,16) bucket
         img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
@@ -39,7 +41,9 @@ def test_bucketed_bit_exact_and_shared_program():
         got = pred.upscale_bucketed(img, 2, 2, granularity=16)
         assert got.shape == want.shape
         np.testing.assert_array_equal(got, want)
-    assert len(pred._bucket_cache) == 1       # one program served both shapes
+    # one program served both shapes (key-scoped: shared predictor)
+    assert sum(1 for k in pred._bucket_cache
+               if k == ((16, 16), (2.0, 2.0))) == 1
     # key-only pin for bucket GROWTH (no second program trace): a (23, 18)
     # input must compute the next (32, 32) bucket, not collide into (16, 16)
     from lerf_tpu.pipeline import _bucket_prep
@@ -51,8 +55,7 @@ def test_net_bucketed_matches_exact():
     """NetPredictor (SRNet form, replicate-pad stages) bucketed serving:
     same clamp construction as the LUT path; float stages make bit-equality
     shape-dependent in principle, so allow exact-rounding-tie slack only."""
-    params = srnet.init_lerf_nets(jax.random.PRNGKey(0), nf=8, out_c=3)
-    pred = NetPredictor.from_srnets(params)
+    pred = shared_net_predictor()
     rng = np.random.RandomState(4)
     for h, w in [(11, 13), (16, 9)]:
         img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
@@ -61,36 +64,33 @@ def test_net_bucketed_matches_exact():
         assert got.shape == want.shape
         assert np.abs(got - want).max() <= 1
         assert (got != want).mean() < 1e-3
-    assert len(pred._bucket_cache) == 1
+    assert sum(1 for k in pred._bucket_cache
+               if k == ((16, 16), (2.0, 2.0))) == 1
 
 
 def test_net_bucketed_imdn_no_fallback():
     """The IMDN form's zero-pad convs bucket via traced-bound in-stage
     re-masking (imdn_s2d valid_hw) — bit-equal to the per-shape path
     WITHOUT falling back, across shapes sharing one bucket program."""
-    from lerf_tpu.models.imdn import IMDN2
-    import jax.numpy as jnp
-    model = IMDN2(in_c=3, out_c=3, nf=12)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), 0)
-    pred = NetPredictor.from_imdn(model, variables, out_c=3)
+    pred = shared_imdn_predictor()
     rng = np.random.RandomState(5)
     for h, w in [(11, 13), (16, 9)]:
         img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
         np.testing.assert_array_equal(
             pred.upscale_bucketed(img, 2, 2, 16), pred.upscale(img, 2, 2))
-    assert len(pred._bucket_cache) == 1
-    assert len(pred._resize_cache) == 2      # only the reference calls
+    assert sum(1 for k in pred._bucket_cache
+               if k == ((16, 16), (2.0, 2.0))) == 1
+    # only the reference calls trace static programs at these shapes
+    assert sum(1 for k in pred._resize_cache
+               if k[0] in ((11, 13), (16, 9))
+               and k[1] == (2.0, 2.0)) == 2
 
 
 def test_net_dynamic_imdn_bucketed():
     """IMDN through the fully recompile-free dynamic path (fractional
     scale, bucketed) — the masked stages compose with traced-geometry
     resize."""
-    from lerf_tpu.models.imdn import IMDN2
-    import jax.numpy as jnp
-    model = IMDN2(in_c=3, out_c=3, nf=12)
-    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, 3)), 0)
-    pred = NetPredictor.from_imdn(model, variables, out_c=3)
+    pred = shared_imdn_predictor()
     img = np.random.RandomState(6).randint(0, 256, (11, 13, 3),
                                            dtype=np.uint8)
     want = pred.upscale(img, 2.3, 2.3)
@@ -144,15 +144,19 @@ def test_eval_harness_bucket_wiring(monkeypatch):
 
 
 def test_bucketed_fractional_aligned_and_fallback():
-    pred = make_predictor(seed=2)
+    pred = shared_lut_predictor()
+
+    def frac_keys():
+        return sum(1 for k in pred._bucket_cache if k[1] == (2.5, 2.5))
+
     rng = np.random.RandomState(3)
     # 12*2.5 and 16*2.5 are integers -> grid translation-invariant -> exact
     img = rng.randint(0, 256, (12, 8, 3), dtype=np.uint8)
     np.testing.assert_array_equal(pred.upscale_bucketed(img, 2.5, 2.5, 16),
                                   pred.upscale(img, 2.5, 2.5))
-    assert len(pred._bucket_cache) == 1
+    assert frac_keys() == 1
     # 11*2.5 is not an integer: invariance breaks, must fall back (exact)
     img = rng.randint(0, 256, (11, 13, 3), dtype=np.uint8)
     np.testing.assert_array_equal(pred.upscale_bucketed(img, 2.5, 2.5, 16),
                                   pred.upscale(img, 2.5, 2.5))
-    assert len(pred._bucket_cache) == 1       # no bucket program was built
+    assert frac_keys() == 1       # no new bucket program was built

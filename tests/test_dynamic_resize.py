@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from conftest import shared_lut_predictor, shared_net_predictor
 from lerf_tpu.lut.io import LUTBank
 from lerf_tpu.models import srnet
 from lerf_tpu.ops import (ResizeGeometry, ResizeOperands,
@@ -168,7 +169,7 @@ def _lut_predictor(linear=False):
 def test_lut_upscale_dynamic_bit_exact_one_program():
     """Scales that share (in, out) shapes must share ONE compiled program
     (2.0 and 1.97 both produce out = 42×52 at 21×26)."""
-    pred = _lut_predictor()
+    pred = shared_lut_predictor()
     rng = np.random.RandomState(8)
     img = rng.randint(0, 256, (21, 26, 3), dtype=np.uint8)
     # two scales prove the shared program; each extra scale re-traces the
@@ -177,8 +178,11 @@ def test_lut_upscale_dynamic_bit_exact_one_program():
         want = pred.upscale(img, *s)
         got = pred.upscale_dynamic(img, *s)
         np.testing.assert_array_equal(want, got)
-    assert len(pred._resize_dyn_cache) == 1   # one program, two scales
-    assert len(pred._resize_cache) == 2       # vs one per scale
+    # key-scoped pins (shared predictor): one dynamic program for both
+    # scales at this shape vs one static program per scale
+    assert sum(1 for k in pred._resize_dyn_cache
+               if k[0] == (21, 26)) == 1
+    assert sum(1 for k in pred._resize_cache if k[0] == (21, 26)) == 2
 
 
 def test_lut_upscale_dynamic_nonperiodic_scale():
@@ -186,7 +190,7 @@ def test_lut_upscale_dynamic_nonperiodic_scale():
     must use the index-gather fallback and the dynamic path must match it
     bit-for-bit."""
     from lerf_tpu.ops.resample import MAX_FOV_PERIOD, _periodic_fov
-    pred = _lut_predictor()
+    pred = shared_lut_predictor()
     rng = np.random.RandomState(9)
     img = rng.randint(0, 256, (20, 20, 3), dtype=np.uint8)
     geom = ResizeGeometry.create((20, 20), scale_factors=[3.55, 3.55],
@@ -199,7 +203,7 @@ def test_lut_upscale_dynamic_nonperiodic_scale():
 
 
 def test_lut_upscale_dynamic_linear_form():
-    pred = _lut_predictor(linear=True)
+    pred = shared_lut_predictor(linear=True)
     rng = np.random.RandomState(10)
     img = rng.randint(0, 256, (18, 15, 3), dtype=np.uint8)
     # one mixed-axis scale exercises the full linear dynamic form; the
@@ -214,7 +218,7 @@ def test_lut_upscale_bucketed_dynamic_bit_exact():
     """granularity>0: one program per (in-bucket, out-bucket) must serve
     different image shapes AND scales bit-exactly — including scales where
     upscale_bucketed's out == scale·in alignment fails."""
-    pred = _lut_predictor()
+    pred = shared_lut_predictor()
     rng = np.random.RandomState(11)
     # the aligned (2.0, 2.0) baseline is covered by the one-program test;
     # these two vary input shape, ceil alignment, and axis asymmetry
@@ -225,29 +229,29 @@ def test_lut_upscale_bucketed_dynamic_bit_exact():
         want = pred.upscale(img, *s)
         got = pred.upscale_dynamic(img, *s, granularity=16)
         np.testing.assert_array_equal(want, got)
-    keys = [k for k in pred._resize_dyn_cache if k[0] == "bucket"]
-    # all three (shape, scale) combos share the single
-    # ((32,32) → (48,64))-bucket program
+    keys = [k for k in pred._resize_dyn_cache
+            if k[:2] == ("bucket", (32, 32))]
+    # all (shape, scale) combos share the single
+    # ((32,32) → (48,64))-bucket program (key-scoped: shared predictor)
     assert keys == [("bucket", (32, 32), (48, 64))]
 
 
 def test_net_upscale_dynamic_bit_exact():
-    params = srnet.init_lerf_nets(jax.random.PRNGKey(0), nf=8, out_c=3)
-    pred = NetPredictor.from_srnets(params)
+    pred = shared_net_predictor()
     rng = np.random.RandomState(12)
     img = rng.randint(0, 256, (17, 19, 3), dtype=np.uint8)
     for s in [(2.0, 2.0), (3.55, 3.55)]:
         want = pred.upscale(img, *s)
         got = pred.upscale_dynamic(img, *s)
         np.testing.assert_array_equal(want, got)
-    assert len(pred._resize_dyn_cache) == 2
+    assert sum(1 for k in pred._resize_dyn_cache
+               if k[0] == (17, 19)) == 2
 
 
 def test_net_upscale_dynamic_bucketed():
     """SRNet form (replicate-pad float stages): bucketed dynamic serving;
     allow only exact-rounding-tie slack like the bucketed warp test."""
-    params = srnet.init_lerf_nets(jax.random.PRNGKey(2), nf=8, out_c=3)
-    pred = NetPredictor.from_srnets(params)
+    pred = shared_net_predictor()
     rng = np.random.RandomState(13)
     img = rng.randint(0, 256, (17, 19, 3), dtype=np.uint8)
     want = pred.upscale(img, 2.3, 2.3)
@@ -262,7 +266,7 @@ def test_lut_upscale_dynamic_downscale_aa():
     reference AA semantics resize_right2d_numpy.py:52-55,186-193)."""
     rng = np.random.RandomState(14)
     img = rng.randint(0, 256, (32, 40, 3), dtype=np.uint8)
-    pred = _lut_predictor()
+    pred = shared_lut_predictor()
     # (0.5, 0.5) covers the support-4 bucket; (1.5, 0.33) covers mixed
     # up/down axes and the support-8 bucket.  The full 5-scale AA grid
     # (incl. the deep 0.21 bucket-16 case) runs at op level in
@@ -273,7 +277,7 @@ def test_lut_upscale_dynamic_downscale_aa():
         want = pred.upscale(img, *s)
         got = pred.upscale_dynamic(img, *s)
         np.testing.assert_array_equal(want, got)
-    predl = _lut_predictor(linear=True)
+    predl = shared_lut_predictor(linear=True)
     for s in [(0.71, 0.71)]:
         want = predl.upscale(img, *s)
         got = predl.upscale_dynamic(img, *s)
@@ -284,19 +288,19 @@ def test_lut_upscale_dynamic_downscale_one_program():
     """Downscales sharing (in_sz, out_sz, support bucket) share ONE
     compiled program (0.3 and 0.29 both produce 12×17 at 40×56 within the
     support-8 bucket)."""
-    pred = _lut_predictor()
+    pred = shared_lut_predictor()
     rng = np.random.RandomState(15)
     img = rng.randint(0, 256, (30, 42, 3), dtype=np.uint8)
     for s in [(0.3, 0.3), (0.29, 0.29)]:
         want = pred.upscale(img, *s)
         got = pred.upscale_dynamic(img, *s)
         np.testing.assert_array_equal(want, got)
-    assert len(pred._resize_dyn_cache) == 1
+    assert sum(1 for k in pred._resize_dyn_cache
+               if k[0] == (30, 42)) == 1
 
 
 def test_net_upscale_dynamic_downscale():
-    params = srnet.init_lerf_nets(jax.random.PRNGKey(3), nf=8, out_c=3)
-    pred = NetPredictor.from_srnets(params)
+    pred = shared_net_predictor()
     rng = np.random.RandomState(16)
     img = rng.randint(0, 256, (40, 56, 3), dtype=np.uint8)
     for s in [(0.5, 0.5), (0.71, 0.71)]:

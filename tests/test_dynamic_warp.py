@@ -15,6 +15,8 @@ from lerf_tpu.ops import (WarpGeometry, WarpOperands,
                           amplified_linear_warp_rings, nearest_warp_mask,
                           nearest_warp_mask_host, steering_gaussian_warp,
                           steering_gaussian_warp_rings, warp_rings)
+from conftest import (shared_imdn_predictor, shared_lut_predictor,
+                      shared_net_predictor)
 from lerf_tpu.pipeline import LutPredictor, NetPredictor
 
 L4 = 17 ** 4
@@ -217,7 +219,7 @@ def _lut_predictor(linear=False):
 
 
 def test_lut_warp_dynamic_bit_exact_one_program():
-    pred = _lut_predictor()
+    pred = shared_lut_predictor()
     rng = np.random.RandomState(8)
     img = rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
     # two matrices prove the one-program property; each extra matrix
@@ -227,12 +229,16 @@ def test_lut_warp_dynamic_bit_exact_one_program():
         got_out, got_mask = pred.warp_dynamic(img, m, OUT_SZ)
         np.testing.assert_array_equal(want_out, got_out)
         np.testing.assert_array_equal(want_mask, got_mask)
-    assert len(pred._warp_dyn_cache) == 1     # one program, two matrices
-    assert len(pred._warp_cache) == 2         # vs one per matrix
+    # key-scoped pins (shared predictor): one dynamic program for both
+    # matrices vs one static program per matrix at these shapes
+    assert sum(1 for k in pred._warp_dyn_cache
+               if k == (IN_SZ, OUT_SZ)) == 1
+    assert sum(1 for k in pred._warp_cache
+               if k[0] == IN_SZ and k[2] == OUT_SZ) == 2
 
 
 def test_lut_warp_dynamic_linear_form():
-    pred = _lut_predictor(linear=True)
+    pred = shared_lut_predictor(linear=True)
     rng = np.random.RandomState(9)
     img = rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
     m = _matrices()[0]
@@ -240,12 +246,12 @@ def test_lut_warp_dynamic_linear_form():
     got_out, got_mask = pred.warp_dynamic(img, m, OUT_SZ)
     np.testing.assert_array_equal(want_out, got_out)
     np.testing.assert_array_equal(want_mask, got_mask)
-    assert len(pred._warp_dyn_cache) == 1
+    assert sum(1 for k in pred._warp_dyn_cache
+               if k == (IN_SZ, OUT_SZ)) == 1
 
 
 def test_net_warp_dynamic_bit_exact():
-    params = srnet.init_lerf_nets(jax.random.PRNGKey(0), nf=8, out_c=3)
-    pred = NetPredictor.from_srnets(params)
+    pred = shared_net_predictor()
     rng = np.random.RandomState(10)
     img = rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
     for m in _matrices()[:2]:
@@ -253,13 +259,14 @@ def test_net_warp_dynamic_bit_exact():
         got_out, got_mask = pred.warp_dynamic(img, m, OUT_SZ)
         np.testing.assert_array_equal(want_out, got_out)
         np.testing.assert_array_equal(want_mask, got_mask)
-    assert len(pred._warp_dyn_cache) == 1
+    assert sum(1 for k in pred._warp_dyn_cache
+               if k == (IN_SZ, OUT_SZ)) == 1
 
 
 def test_lut_warp_bucketed_bit_exact_one_program():
     """granularity>0: one program per (in-bucket, N-bucket) must serve
     different image shapes, output shapes, AND matrices bit-exactly."""
-    pred = _lut_predictor()
+    pred = shared_lut_predictor()
     rng = np.random.RandomState(11)
     # two cases vary input AND output shape (plus matrix) within one
     # bucket; a third combo re-proves the same key arithmetic at the cost
@@ -278,7 +285,7 @@ def test_lut_warp_bucketed_bit_exact_one_program():
 
 
 def test_lut_warp_bucketed_aux_cropped():
-    pred = _lut_predictor()
+    pred = shared_lut_predictor()
     rng = np.random.RandomState(12)
     img = rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
     m = _matrices()[0]
@@ -294,8 +301,7 @@ def test_lut_warp_bucketed_aux_cropped():
 def test_net_warp_bucketed_matches_exact():
     """SRNet form (replicate-pad float stages): same construction; allow
     only exact-rounding-tie slack like the bucketed SR test."""
-    params = srnet.init_lerf_nets(jax.random.PRNGKey(2), nf=8, out_c=3)
-    pred = NetPredictor.from_srnets(params)
+    pred = shared_net_predictor()
     rng = np.random.RandomState(13)
     img = rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
     m = _matrices()[0]
@@ -309,13 +315,7 @@ def test_net_warp_bucketed_matches_exact():
 def test_imdn_warp_bucketed_matches_exact():
     """IMDN (zero-pad stages) through the fully recompile-free bucketed
     warp — enabled by the traced-bound in-stage re-masking."""
-    import jax.numpy as jnp
-
-    from lerf_tpu.models.imdn import IMDN2
-
-    model = IMDN2(in_c=3, out_c=3, nf=8)
-    variables = model.init(jax.random.PRNGKey(4), jnp.zeros((1, 8, 8, 3)), 0)
-    pred = NetPredictor.from_imdn(model, variables, out_c=3)
+    pred = shared_imdn_predictor()
     rng = np.random.RandomState(14)
     img = rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
     m = _matrices()[0]
@@ -381,7 +381,7 @@ def test_warp_device_geometry_close_to_host():
     mask mismatches and pixel disagreements are boundary events, bounded
     here at the per-mille level, with >1-LSB deltas only where a gather
     window shifted (rare).  One program serves every matrix."""
-    pred = _lut_predictor()
+    pred = shared_lut_predictor()
     rng = np.random.RandomState(9)
     img = rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
     for m in _matrices()[:3]:
@@ -400,7 +400,7 @@ def test_warp_device_geometry_close_to_host():
 def test_warp_batch_device_geometry_matches_single():
     """The batched device-geometry form must equal per-frame warp_device
     exactly (same in-program geometry, vmapped)."""
-    pred = _lut_predictor()
+    pred = shared_lut_predictor()
     rng = np.random.RandomState(10)
     imgs = rng.randint(0, 256, (2, *IN_SZ, 3), dtype=np.uint8)
     mats = np.stack(_matrices()[:2])

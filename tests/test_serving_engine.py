@@ -6,6 +6,7 @@ import pytest
 import jax
 import numpy as np
 
+from conftest import shared_lut_predictor, shared_net_predictor
 from lerf_tpu.lut.io import LUTBank
 from lerf_tpu.models import srnet
 from lerf_tpu.pipeline import LutPredictor, NetPredictor, ServingFuture
@@ -44,7 +45,7 @@ def _matrices():
 
 
 def test_stream_warp_matches_sequential():
-    pred = _lut_predictor()
+    pred = shared_lut_predictor()
     rng = np.random.RandomState(21)
     mats = _matrices()
     frames = [rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
@@ -56,14 +57,15 @@ def test_stream_warp_matches_sequential():
         for (wo, wm), (go, gm) in zip(want, got):
             np.testing.assert_array_equal(wo, go)
             np.testing.assert_array_equal(wm, gm)
-    # pipelining reuses the ONE dynamic program
-    assert len(pred._warp_dyn_cache) == 1
+    # pipelining reuses the ONE dynamic program (key-scoped: shared pred)
+    assert sum(1 for k in pred._warp_dyn_cache
+               if k == (IN_SZ, OUT_SZ)) == 1
 
 
 def test_stream_warp_bucketed_mixed_shapes():
     """granularity>0: one bucket program serves a stream of different image
     shapes, output shapes, and matrices — pipelined."""
-    pred = _lut_predictor()
+    pred = shared_lut_predictor()
     rng = np.random.RandomState(22)
     cases = [((37, 45), (52, 40)), ((33, 41), (49, 44)),
              ((37, 45), (45, 47))]
@@ -90,7 +92,7 @@ def test_stream_warp_bucketed_mixed_shapes():
 
 @pytest.mark.smoke
 def test_stream_upscale_matches_sequential():
-    pred = _lut_predictor()
+    pred = shared_lut_predictor()
     rng = np.random.RandomState(23)
     # two distinct program keys (the third request reuses the first) —
     # multi-scale + program-reuse + ordering coverage at 2 CPU compiles
@@ -105,8 +107,7 @@ def test_stream_upscale_matches_sequential():
 
 
 def test_net_stream_warp_matches_sequential():
-    params = srnet.init_lerf_nets(jax.random.PRNGKey(0), nf=8, out_c=3)
-    pred = NetPredictor.from_srnets(params)
+    pred = shared_net_predictor()
     rng = np.random.RandomState(24)
     mats = _matrices()[:2]
     frames = [rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
@@ -119,7 +120,7 @@ def test_net_stream_warp_matches_sequential():
 
 
 def test_future_result_idempotent():
-    pred = _lut_predictor()
+    pred = shared_lut_predictor()
     rng = np.random.RandomState(25)
     img = rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
     fut = pred.warp_dynamic_async(img, _matrices()[0], OUT_SZ)
