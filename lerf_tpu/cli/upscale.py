@@ -36,7 +36,7 @@ from ..config import TestConfig, parse_config
 class UpscaleConfig(TestConfig):
     input: str = ""
     output: str = ""
-    form: str = "lut"            # lut | net
+    form: str = "lut"            # lut | net | auto
     matrix: str = ""             # 9 comma floats → homography warp mode
     out_size: str = ""           # HxW for warp mode
     # (``bucket`` inherited from TestConfig: >0 enables bucketed serving —
@@ -44,6 +44,15 @@ class UpscaleConfig(TestConfig):
 
 
 def build_predictor(cfg: UpscaleConfig):
+    if cfg.form == "auto":
+        # fastest form whose artifacts exist (README "Choosing a serving
+        # form"): a network checkpoint serves ~2.4-4x the LUT form's
+        # MP/s; the int8 LUT bank is the bit-parity deploy and the
+        # fallback
+        has_ckpt = (os.path.isdir(os.path.join(cfg.exp_dir, "ckpt"))
+                    or os.path.exists(os.path.join(
+                        cfg.exp_dir, f"Model_{cfg.load_iter:06d}.pth")))
+        cfg.form = "net" if has_ckpt else "lut"
     if cfg.form == "net":
         from .eval_model import build_predictor as build_net
         return build_net(cfg)

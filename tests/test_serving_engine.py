@@ -223,3 +223,34 @@ def test_async_fallback_resolves_eagerly(monkeypatch):
         np.zeros((8, 8, 3), np.uint8), np.eye(3), (8, 8))
     assert isinstance(fut, ServingFuture)
     assert called.get("yes") and fut.result() == ("out", "mask")
+
+
+def test_upscale_cli_form_auto(tmp_path, monkeypatch):
+    """--form auto resolves to the fastest form whose artifacts exist:
+    net when a checkpoint is present, the bit-parity LUT bank otherwise
+    (README "Choosing a serving form")."""
+    from lerf_tpu.cli import upscale as up
+    from lerf_tpu.lut.io import save_lut_bank
+
+    rng = np.random.RandomState(30)
+    bank = LUTBank(
+        stage1={m: rng.randint(-127, 128, (L4, 1)).astype(np.int8)
+                for m in MODES},
+        stage2={f"{m}r{r}": rng.randint(-127, 128, (L4, 3)).astype(np.int8)
+                for m in MODES for r in (0, 1)},
+        out_c=3)
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    save_lut_bank(bank, str(exp), lut_name="LUTft")
+
+    cfg = up.UpscaleConfig(exp_dir=str(exp), form="auto")
+    pred = up.build_predictor(cfg)
+    assert cfg.form == "lut" and isinstance(pred, LutPredictor)
+
+    (exp / "ckpt").mkdir()                     # a checkpoint flips to net
+    calls = {}
+    monkeypatch.setattr("lerf_tpu.cli.eval_model.build_predictor",
+                        lambda c: (calls.setdefault("net", c), "netpred")[1])
+    cfg = up.UpscaleConfig(exp_dir=str(exp), form="auto")
+    assert up.build_predictor(cfg) == "netpred"
+    assert cfg.form == "net" and "net" in calls
