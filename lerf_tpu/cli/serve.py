@@ -35,16 +35,17 @@ __all__ = ["ServeConfig", "main"]
 class ServeConfig(UpscaleConfig):
     host: str = "127.0.0.1"
     port: int = 8008
+    geometry: str = "host"       # host | device (warp rings in-program)
 
 
 def main(argv=None, *, serve_forever: bool = True):
     cfg = parse_config(ServeConfig, argv)
     pred = build_predictor(cfg)
     server = make_server(pred, host=cfg.host, port=cfg.port,
-                         granularity=cfg.bucket)
+                         granularity=cfg.bucket, geometry=cfg.geometry)
     print(f"lerf-tpu {cfg.form} daemon on "
           f"http://{cfg.host}:{server.server_address[1]} "
-          f"(bucket={cfg.bucket})", flush=True)
+          f"(bucket={cfg.bucket}, geometry={cfg.geometry})", flush=True)
     if serve_forever:
         try:
             server.serve_forever()

@@ -195,12 +195,27 @@ def apply_tower_s2d(p2: Dict, x: jnp.ndarray, *, block: int, nf: int = 12,
     beyond (h, w) is garbage the caller masks/clamps).  ``block=1`` makes
     this the masked execution of the STOCK tower (the b=1 re-embedding is
     the identity), which is how the base backend serves bucketed.
+
+    ``valid_hw=(row_lo, row_hi, w)`` (3-tuple) additionally masks rows
+    BELOW ``row_lo`` — the halo-exchange sharded execution
+    (parallel.spatial), where a device whose slab touches the true image
+    top holds zero-filled halo rows that must behave as SAME padding at
+    every conv depth, exactly like the bottom bound.
     """
     b = block
     B, H, W, C = x.shape
     Hp, Wp = -(-H // b) * b, -(-W // b) * b
     mask = None
-    if valid_hw is not None:
+    if valid_hw is not None and len(valid_hw) == 3:
+        lo, hi, w = valid_hw
+        rows = jnp.arange(Hp)
+        m = (((rows >= lo) & (rows < hi))[:, None]
+             & (jnp.arange(Wp) < w)[None, :]).astype(dtype)
+        if (Hp, Wp) != (H, W):
+            x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+        x = x * m[None, :, :, None]
+        mask = space_to_depth(m[None, :, :, None], b)     # [1,H2,W2,b^2]
+    elif valid_hw is not None:
         h, w = valid_hw
         m = ((jnp.arange(Hp) < h)[:, None]
              & (jnp.arange(Wp) < w)[None, :]).astype(dtype)

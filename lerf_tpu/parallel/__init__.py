@@ -11,6 +11,7 @@ from .mesh import (
 )
 from .spatial import (
     imdn_stages_sharded,
+    imdn_stages_sharded_exchange,
     lut_stages_sharded,
     sharded_dynamic_sr_pipeline,
     sharded_dynamic_warp_pipeline,
@@ -37,5 +38,6 @@ __all__ = ["DATA_AXIS", "make_mesh", "batch_sharding", "replicated",
            "steering_gaussian_resize_rings_sharded",
            "sharded_dynamic_sr_pipeline",
            "srnet_stages_sharded", "sharded_net_sr_pipeline",
-           "imdn_stages_sharded", "sharded_imdn_sr_pipeline",
+           "imdn_stages_sharded", "imdn_stages_sharded_exchange",
+           "sharded_imdn_sr_pipeline",
            "sharded_imdn_warp_pipeline"]

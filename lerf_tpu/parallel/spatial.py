@@ -600,6 +600,92 @@ def imdn_stages_sharded(img, variables, mesh, *, backend: str = "base",
     return feat[..., :h, :], hyper[..., :h, :, :]
 
 
+def imdn_stages_sharded_exchange(img_sharded, variables, mesh, *,
+                                 backend: str = "base", block: int = 2,
+                                 nf: int = 12, norm: int = 255,
+                                 out_c: int = 3, two_stage: bool = True,
+                                 true_h=None, dtype=None,
+                                 axis: str = DATA_AXIS):
+    """Row-sharded IMDN towers with a TRUE halo exchange over ICI.
+
+    :func:`imdn_stages_sharded` replicates the input and slices bands
+    locally — right when the input is small relative to the output.  When
+    the input itself arrives ROW-SHARDED (chained from a sharded producer,
+    or frames too large to replicate), replication wastes HBM and an
+    all-gather; here each device keeps only its slab and fetches the
+    receptive-field halo from its neighbors with ONE ``ppermute`` pair
+    (2·halo·W·C bytes over ICI — SURVEY §2.8's "image tiling ... halo
+    exchange", literally).  Devices at the true image edges receive the
+    collective's zero fill, which the traced 3-tuple row mask
+    (``imdn_s2d`` ``valid_hw=(lo, hi, w)``) turns into exact SAME-conv
+    zero padding at every conv depth — same exactness argument as the
+    replicated-band path, same kept-row values.
+
+    ``img_sharded``: [..., C, H, W] float in 0..255 with H divided evenly
+    over ``mesh`` (shard or constrain it with ``P(..., axis, None)``).
+    ``true_h`` masks rows ≥ true_h as beyond-image (default H).  Requires
+    ``H/n ≥ halo`` (= stages·22·block rows) — single-hop neighbors must
+    cover the receptive field; smaller slabs should use the replicated
+    path.  Returns (feat, hyper) row-sharded like the band variant.
+    """
+    from ..models.imdn_s2d import make_chw_stage_fns, tower_halo_rows
+
+    if dtype is None:
+        dtype = jnp.float32
+    variables, s1, s2 = make_chw_stage_fns(
+        variables, backend=backend, block=block, nf=nf, norm=norm,
+        out_c=out_c, dtype=dtype)
+
+    n = mesh.devices.size
+    h, w = img_sharded.shape[-2:]
+    if h % n:
+        raise ValueError(f"H={h} must divide over {n} devices (pad first)")
+    rows = h // n
+    halo = (2 if two_stage else 1) * tower_halo_rows(
+        block if backend == "s2d" else 1)
+    if rows < halo:
+        raise ValueError(
+            f"slab of {rows} rows < halo {halo}: single-hop exchange "
+            f"cannot cover the receptive field — use imdn_stages_sharded")
+    th = int(true_h) if true_h is not None else h
+
+    def local(x_loc, p_rep):
+        i = jax.lax.axis_index(axis)
+        # halo exchange: my bottom rows → next device's top halo, my top
+        # rows → previous device's bottom halo; absent pairs (the mesh
+        # edges) deliver zeros, which the row mask treats as beyond-image
+        top = jax.lax.ppermute(x_loc[..., rows - halo:, :], axis,
+                               [(j, j + 1) for j in range(n - 1)])
+        bot = jax.lax.ppermute(x_loc[..., :halo, :], axis,
+                               [(j, j - 1) for j in range(1, n)])
+        band = jnp.concatenate([top, x_loc, bot], axis=-2)
+        x = band.astype(jnp.float32) / float(norm)
+        lo_glob = i * rows - halo          # global row of band row 0
+        row_lo = jnp.maximum(-lo_glob, 0)  # zero halo above the image top
+        row_hi = th - lo_glob
+        band_rows = jnp.arange(rows + 2 * halo)
+        row_ok = (band_rows >= row_lo) & (band_rows < row_hi)
+        if two_stage:
+            feat_b = s1(p_rep, x, (row_lo, row_hi, w))
+            feat_b = jnp.where(row_ok[:, None], feat_b, 0.0)
+            hyper_in = feat_b / float(norm)
+        else:
+            feat_b = jnp.where(row_ok[:, None], jnp.round(x * norm), 0.0)
+            hyper_in = jnp.where(row_ok[:, None], x, 0.0)
+        hyper_b = s2(p_rep, hyper_in, (row_lo, row_hi, w))
+        feat = jax.lax.dynamic_slice_in_dim(feat_b, halo, rows, axis=-2)
+        hyper = jax.lax.dynamic_slice_in_dim(hyper_b, halo, rows, axis=-3)
+        return feat, hyper
+
+    row_spec = [None] * img_sharded.ndim
+    row_spec[-2] = axis
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(*row_spec), P()),
+        out_specs=(P(*row_spec), P(*(row_spec + [None]))))
+    return fn(img_sharded, variables)
+
+
 def sharded_imdn_sr_pipeline(img, variables, geom: ResizeGeometry, mesh, *,
                              backend: str = "base", block: int = 2,
                              nf: int = 12, norm: int = 255, out_c: int = 3,

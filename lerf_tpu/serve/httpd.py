@@ -112,9 +112,13 @@ def _png_bytes(arr: np.ndarray) -> bytes:
 
 class _State:
     def __init__(self, pred, granularity: int, max_inflight: int,
-                 max_body_bytes: int):
+                 max_body_bytes: int, geometry: str = "host"):
         self.pred = pred
         self.granularity = granularity
+        # "device" routes /v1/warp through warp_device_async (in-program
+        # rings from the 3×3 inverse — 36 B matrix operand, no host
+        # geometry pass; README "Choosing a serving form")
+        self.geometry = geometry
         self.max_body_bytes = max_body_bytes
         self.dispatch_lock = threading.Lock()
         # bounds dispatched-not-yet-fetched frames (each holds its device
@@ -285,11 +289,17 @@ def _build_handler(state: _State):
             except ValueError:
                 raise ValueError("outSize must be HxW, e.g. 512x512")
             t0 = time.perf_counter()
+            use_devgeo = (state.geometry == "device"
+                          and hasattr(state.pred, "warp_device_async"))
             with state.inflight:
                 with state.dispatch_lock:
-                    fut = state.pred.warp_dynamic_async(
-                        img, matrix, (oh, ow),
-                        granularity=state.granularity)
+                    if use_devgeo:
+                        fut = state.pred.warp_device_async(
+                            img, matrix, (oh, ow))
+                    else:
+                        fut = state.pred.warp_dynamic_async(
+                            img, matrix, (oh, ow),
+                            granularity=state.granularity)
                     state.record(dispatch_s=time.perf_counter() - t0)
                 out, mask = fut.result()
             state.record(total_s=time.perf_counter() - t0)
@@ -373,7 +383,8 @@ def _build_handler(state: _State):
 
 def make_server(pred, *, host: str = "127.0.0.1", port: int = 0,
                 granularity: int = 0, max_inflight: int = 8,
-                max_body_bytes: int = 256 << 20) -> ThreadingHTTPServer:
+                max_body_bytes: int = 256 << 20,
+                geometry: str = "host") -> ThreadingHTTPServer:
     """Build (but do not start) the daemon; ``port=0`` picks a free port
     (``server.server_address[1]`` reports it).  ``granularity>0`` buckets
     input/output shapes so heterogeneous request streams share programs
@@ -381,8 +392,13 @@ def make_server(pred, *, host: str = "127.0.0.1", port: int = 0,
     ``max_inflight`` caps dispatched-not-yet-fetched frames so a burst of
     concurrent clients cannot queue unbounded output buffers in HBM;
     ``max_body_bytes`` (default 256 MB — an 8K uint8 RGB frame is ~100 MB)
-    rejects larger uploads with 413 before buffering them."""
-    state = _State(pred, granularity, max_inflight, max_body_bytes)
+    rejects larger uploads with 413 before buffering them.
+    ``geometry="device"`` serves /v1/warp through the in-program-geometry
+    form (``warp_device_async``) — for hosts whose link makes the rings
+    operand upload the bottleneck; Gaussian LUT/net deploy configs only
+    (others keep the host path)."""
+    state = _State(pred, granularity, max_inflight, max_body_bytes,
+                   geometry=geometry)
     server = ThreadingHTTPServer((host, port), _build_handler(state))
     server.lerf_state = state
     return server

@@ -27,21 +27,11 @@ _PRED = None
 
 
 def _lut_predictor():
-    # module singleton: every test that builds its own server reuses one
-    # predictor, so dynamic programs (and their uncacheable traces) are
-    # shared across tests instead of re-traced per test
-    global _PRED
-    if _PRED is None:
-        rng = np.random.RandomState(7)
-        bank = LUTBank(
-            stage1={m: rng.randint(-127, 128, (L4, 1)).astype(np.int8)
-                    for m in MODES},
-            stage2={f"{m}r{r}": rng.randint(-127, 128,
-                                            (L4, 3)).astype(np.int8)
-                    for m in MODES for r in (0, 1)},
-            out_c=3)
-        _PRED = LutPredictor(bank)
-    return _PRED
+    # the conftest process-wide canonical predictor (same seed-7 bank this
+    # module always used): dynamic programs traced by the serving suites
+    # are shared with the daemon tests instead of re-traced
+    from conftest import shared_lut_predictor
+    return shared_lut_predictor()
 
 
 @pytest.fixture(scope="module")
@@ -209,13 +199,9 @@ def test_max_inflight_one_still_correct_under_concurrency():
 def test_net_form_daemon_bit_exact():
     """The daemon serves NetPredictor forms identically (one shared HTTP
     surface for the LUT and network deploy forms)."""
-    import jax
+    from conftest import shared_net_predictor
 
-    from lerf_tpu.models import srnet
-    from lerf_tpu.pipeline import NetPredictor
-
-    params = srnet.init_lerf_nets(jax.random.PRNGKey(0), nf=8, out_c=3)
-    pred = NetPredictor.from_srnets(params)
+    pred = shared_net_predictor()
     server = make_server(pred, port=0)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -450,3 +436,28 @@ def test_serve_cli_builds_daemon(tmp_path):
     with urllib.request.urlopen(base + "/healthz", timeout=60) as resp:
         assert json.loads(resp.read())["granularity"] == 16
     server.shutdown()
+
+
+def test_warp_device_geometry_daemon():
+    """geometry="device" routes /v1/warp through warp_device_async (the
+    in-program-geometry serving form) — npz response equals warp_device."""
+    pred = _lut_predictor()
+    server = make_server(pred, port=0, geometry="device")
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    img = np.random.RandomState(33).randint(
+        0, 256, (*IN_SZ, 3), dtype=np.uint8)
+    mat = ",".join(str(v) for v in MAT.ravel())
+    buf = io.BytesIO()
+    np.save(buf, img)
+    try:
+        resp = _post(f"{base}/v1/warp?matrix={mat}&outSize=20x26"
+                     f"&format=npz", buf.getvalue())
+        with np.load(io.BytesIO(resp.read()), allow_pickle=False) as z:
+            got_out, got_mask = z["out"], z["mask"]
+    finally:
+        server.shutdown()
+    want_out, want_mask = pred.warp_device(img, MAT, (20, 26))
+    np.testing.assert_array_equal(got_out, want_out)
+    np.testing.assert_array_equal(got_mask, np.asarray(want_mask))

@@ -398,3 +398,50 @@ def test_sharded_imdn_single_stage_and_warp():
     np.testing.assert_array_equal(nan_g, nan_w)
     np.testing.assert_allclose(np.nan_to_num(want), np.nan_to_num(got),
                                rtol=1e-5, atol=1e-3)
+
+
+def test_imdn_halo_exchange_matches_single_device():
+    """The TRUE halo-exchange variant (row-SHARDED input, receptive-field
+    halos fetched from neighbors via one ppermute pair, zero-filled mesh
+    edges turned into SAME padding by the traced 3-tuple row mask) must
+    match the single-device stages — H=512 on 8 devices gives 64-row
+    slabs > the 44-row two-stage halo.  Pins the communication structure:
+    exactly TWO collective-permutes (one per direction), zero all-gathers
+    in the stage computation."""
+    from lerf_tpu.models.imdn import IMDN2
+    from lerf_tpu.models.imdn_s2d import make_chw_stage_fns
+    from lerf_tpu.parallel import imdn_stages_sharded_exchange, make_mesh
+    from lerf_tpu.parallel.mesh import DATA_AXIS
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    model = IMDN2(in_c=3, out_c=3, nf=12)
+    variables = model.init(jax.random.PRNGKey(8), jnp.zeros((1, 8, 8, 3)), 0)
+    h, w = 512, 11
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (3, h, w)).astype(np.float32)
+
+    _, s1, s2 = make_chw_stage_fns(variables, backend="base", model=model)
+    x = jnp.asarray(img) / 255.0
+    feat_ref = s1(variables, x)
+    hyper_ref = s2(variables, feat_ref / 255.0)
+
+    sharded = jax.device_put(
+        jnp.asarray(img),
+        NamedSharding(mesh, P(None, DATA_AXIS, None)))
+    run = jax.jit(lambda im: imdn_stages_sharded_exchange(
+        im, variables, mesh, backend="base"))
+    feat, hyper = run(sharded)
+    np.testing.assert_allclose(np.asarray(feat_ref), np.asarray(feat),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(hyper_ref), np.asarray(hyper),
+                               rtol=1e-5, atol=1e-5)
+
+    hlo = run.lower(sharded).compile().as_text()
+    n_cp = hlo.count(" collective-permute(") \
+        + hlo.count(" collective-permute-start(")
+    n_ag = hlo.count(" all-gather(") + hlo.count(" all-gather-start(")
+    assert n_cp == 2, f"halo exchange emits {n_cp} collective-permutes"
+    assert n_ag == 0, f"stage computation emits {n_ag} all-gathers"
