@@ -422,6 +422,32 @@ def bench_warp_devgeo(h, w, scale=SCALE, iters=40, n_matrices=6):
     return times[len(times) // 2], n_matrices
 
 
+def bench_warp_stream_devgeo(h, w, scale=SCALE, frames=24, n_matrices=6,
+                             depth=2):
+    """Pipelined DEVICE-GEOMETRY warp stream: per-frame host work is just
+    the decode + 3×3 inverse, so sustained throughput ≈ the image-up /
+    result-down transfer bound."""
+    from lerf_tpu.pipeline import LutPredictor
+    from lerf_tpu.serve import stream_warp
+
+    pred = LutPredictor(_load_bank())
+    out_hw = (h * scale, w * scale)
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    mats = [np.eye(3) + rng.randn(3, 3)
+            * np.array([[.05, .05, 4.0], [.05, .05, 4.0], [1e-4, 1e-4, 0.0]])
+            for _ in range(n_matrices)]
+    reqs = [(img, mats[i % n_matrices]) for i in range(frames)]
+    for m in mats[:2]:                                  # compile + warm
+        pred.warp_device(img, m, out_hw)
+    t0 = time.perf_counter()
+    n_out = sum(1 for _ in stream_warp(pred, reqs, out_hw, depth=depth,
+                                       geometry="device"))
+    t_pipe = time.perf_counter() - t0
+    assert n_out == frames
+    return frames * out_hw[0] * out_hw[1] / 1e6 / t_pipe
+
+
 def bench_warp_stream(h, w, scale=SCALE, frames=24, n_matrices=6, depth=2):
     """Pipelined dynamic-warp serving (lerf_tpu.serve.stream_warp): sustained
     output MP/s over a stream of DISTINCT homographies with frame k+1's host
@@ -658,6 +684,8 @@ def fam_stream():
          REF_NUMPY_WARP_MPS)
     emit("lerf_g_lut_warp_dynamic_stream_overlap_gain", gain,
          unit="x_vs_sequential_loop")
+    emit("lerf_g_lut_warp_devgeo_stream_throughput",
+         bench_warp_stream_devgeo(LR_H, LR_W), REF_NUMPY_WARP_MPS)
 
 
 def fam_x355():

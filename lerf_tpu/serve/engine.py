@@ -32,7 +32,7 @@ def _drain(q, depth):
 
 
 def stream_warp(predictor, requests, out_hw, *, granularity: int = 0,
-                depth: int = 2):
+                depth: int = 2, geometry: str = "host"):
     """Pipelined homographic-warp serving.
 
     Args:
@@ -42,13 +42,22 @@ def stream_warp(predictor, requests, out_hw, *, granularity: int = 0,
       out_hw: output size shared by the stream (one device program;
         with ``granularity>0`` even that is per-bucket, not per-shape).
       depth: max in-flight frames (bounds device queue + host memory).
+      geometry: "device" streams through ``warp_device_async`` (rings
+        computed in-program from the 3×3 inverse — nothing left for the
+        pipeline to hide on the host side but the decode; the win is the
+        vanished operand upload, README "Choosing a serving form").
 
     Yields ``(out_u8, mask)`` per request, in order.
     """
+    use_dev = geometry == "device" and hasattr(predictor,
+                                               "warp_device_async")
     q = deque()
     for img, matrix in requests:
-        q.append(predictor.warp_dynamic_async(img, matrix, out_hw,
-                                              granularity=granularity))
+        if use_dev:
+            q.append(predictor.warp_device_async(img, matrix, out_hw))
+        else:
+            q.append(predictor.warp_dynamic_async(img, matrix, out_hw,
+                                                  granularity=granularity))
         yield from _drain(q, depth)
     yield from _drain(q, 0)
 

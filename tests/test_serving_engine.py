@@ -254,3 +254,19 @@ def test_upscale_cli_form_auto(tmp_path, monkeypatch):
     cfg = up.UpscaleConfig(exp_dir=str(exp), form="auto")
     assert up.build_predictor(cfg) == "netpred"
     assert cfg.form == "net" and "net" in calls
+
+
+def test_stream_warp_device_geometry_matches_sequential():
+    """geometry="device" streams through warp_device_async; ordering and
+    values must equal the sequential warp_device loop."""
+    pred = shared_lut_predictor()
+    rng = np.random.RandomState(28)
+    mats = _matrices()[:2]
+    frames = [rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
+              for _ in mats]
+    want = [pred.warp_device(f, m, OUT_SZ) for f, m in zip(frames, mats)]
+    got = list(stream_warp(pred, zip(frames, mats), OUT_SZ, depth=2,
+                           geometry="device"))
+    for (wo, wm), (go, gm) in zip(want, got):
+        np.testing.assert_array_equal(wo, go)
+        np.testing.assert_array_equal(wm, gm)
