@@ -702,6 +702,58 @@ class NetPredictor:
         return self.warp_dynamic_async(img_hwc, matrix, out_hw,
                                        granularity).result()
 
+    def _warp_devgeo_fn(self, in_sz, out_sz):
+        key = ("devgeo", in_sz, out_sz)
+        if key not in self._warp_dyn_cache:
+
+            @jax.jit
+            def run(img_f, inv):
+                rings = warp_rings_on_device(inv, in_sz, out_sz)
+                mask = nearest_warp_mask_on_device(inv, in_sz, out_sz,
+                                                   border=4)
+                feat, hyper = self._stages(img_f)
+                out = steering_gaussian_warp_rings(
+                    feat, hyper[..., 0], hyper[..., 1], hyper[..., 2],
+                    rings, out_sz=out_sz, max_sigma=self.max_sigma,
+                    u8_inputs=self.hyper_u8)
+                return _quantize_device(out, self.norm, nan_to_zero=True), \
+                    mask
+
+            self._warp_dyn_cache[key] = run
+        return self._warp_dyn_cache[key]
+
+    def warp_device_async(self, img_hwc: np.ndarray, matrix: np.ndarray,
+                          out_hw: Tuple[int, int]):
+        """Non-blocking :meth:`warp_device`."""
+        matrix = np.asarray(matrix)
+        if self.supp_size != 2 or self.linear:
+            return ServingFuture.resolved(self.warp(img_hwc, matrix, out_hw))
+        img = np.asarray(img_hwc)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        in_sz = img.shape[:2]
+        out_hw = tuple(int(v) for v in out_hw)
+        inv = np.linalg.inv(matrix.astype(np.float64)).astype(np.float32)
+        chw = np.ascontiguousarray(img.transpose(2, 0, 1)) \
+            .astype(np.float32) / self.norm
+        run = self._warp_devgeo_fn(in_sz, out_hw)
+        out, mask = run(jnp.asarray(chw), jnp.asarray(inv))
+        _copy_host_async(out, mask)
+
+        def finish():
+            return (_quantize_host(out, self.norm).transpose(1, 2, 0),
+                    np.asarray(mask))
+
+        return ServingFuture(finish)
+
+    def warp_device(self, img_hwc: np.ndarray, matrix: np.ndarray,
+                    out_hw: Tuple[int, int]):
+        """DEVICE-GEOMETRY warp serving for the net forms — rings +
+        validity mask computed in-program from the traced 3×3 inverse
+        (see :meth:`LutPredictor.warp_device`; same construction, same
+        f32 caveats, same per-link decision)."""
+        return self.warp_device_async(img_hwc, matrix, out_hw).result()
+
     def _warp_batch_fn(self, batch, in_sz, out_sz):
         key = ("batch", batch, in_sz, out_sz)
         if key not in self._warp_dyn_cache:

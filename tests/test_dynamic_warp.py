@@ -409,3 +409,21 @@ def test_warp_batch_device_geometry_matches_single():
         w_out, w_mask = pred.warp_device(imgs[i], mats[i], OUT_SZ)
         np.testing.assert_array_equal(out[i], w_out)
         np.testing.assert_array_equal(mask[i], w_mask)
+
+
+def test_net_warp_device_geometry_close_to_host():
+    """NetPredictor.warp_device (both SRNet u8-row and IMDN float-row
+    configs) vs the host-geometry dynamic path — same bounded-boundary
+    discipline as the LUT form."""
+    for pred in (shared_net_predictor(), shared_imdn_predictor()):
+        rng = np.random.RandomState(15)
+        img = rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
+        m = _matrices()[0]
+        want_out, want_mask = pred.warp_dynamic(img, m, OUT_SZ)
+        got_out, got_mask = pred.warp_device(img, m, OUT_SZ)
+        assert (got_mask != want_mask).mean() < 2e-3
+        both = (got_mask & want_mask)[:, :, None]
+        diff = np.abs(got_out.astype(np.int32) - want_out.astype(np.int32))
+        diff = diff * both
+        assert (diff > 1).mean() < 5e-3, (diff > 1).mean()
+        assert (diff != 0).mean() < 5e-2, (diff != 0).mean()

@@ -182,3 +182,32 @@ def test_imdn2_bit_parity_vs_reference_torch():
     got2 = np.asarray(jmodel.apply(variables, nhwc, 2)).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got1, want1, atol=2e-4, rtol=0)
     np.testing.assert_allclose(got2, want2, atol=2e-6, rtol=0)
+
+
+def test_s2d_three_tuple_row_mask():
+    """The (row_lo, row_hi, w) masked execution (halo-exchange sharding)
+    must equal running the tower on the valid slab directly, for both the
+    stock (b=1) and s2d (b=2) forms — rows outside [lo, hi) behave as
+    SAME zero padding at every conv depth."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lerf_tpu.models.imdn import IMDN2
+    from lerf_tpu.models.imdn_s2d import convert_imdn2, predict_imdn2_s2d
+
+    model = IMDN2(in_c=3, out_c=3, nf=12)
+    variables = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 8, 8, 3)), 0)
+    rng = np.random.RandomState(4)
+    lo, hi, w = 5, 19, 10
+    frame = rng.rand(1, 24, w, 3).astype(np.float32)
+    want = model.apply(variables, jnp.asarray(frame[:, lo:hi]), 2)
+
+    for block, p2 in ((1, {"params": variables["params"]}),
+                      (2, convert_imdn2(variables, 2))):
+        got = predict_imdn2_s2d(
+            p2, jnp.asarray(frame), 2, block=block,
+            valid_hw=(jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(w)))
+        np.testing.assert_allclose(np.asarray(want),
+                                   np.asarray(got)[:, lo:hi],
+                                   rtol=1e-5, atol=1e-5)
