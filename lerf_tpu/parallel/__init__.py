@@ -14,6 +14,7 @@ from .spatial import (
     imdn_stages_sharded_exchange,
     lut_stages_sharded,
     sharded_dynamic_sr_pipeline,
+    sharded_devgeo_warp_pipeline,
     sharded_dynamic_warp_pipeline,
     sharded_imdn_sr_pipeline,
     sharded_imdn_warp_pipeline,
@@ -35,6 +36,7 @@ __all__ = ["DATA_AXIS", "make_mesh", "batch_sharding", "replicated",
            "sharded_lut_warp_pipeline",
            "steering_gaussian_warp_rings_sharded",
            "sharded_dynamic_warp_pipeline",
+           "sharded_devgeo_warp_pipeline",
            "steering_gaussian_resize_rings_sharded",
            "sharded_dynamic_sr_pipeline",
            "srnet_stages_sharded", "sharded_net_sr_pipeline",

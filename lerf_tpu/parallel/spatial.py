@@ -390,6 +390,56 @@ def sharded_dynamic_warp_pipeline(img, tables1, tables2, modes,
         max_sigma=max_sigma, u8_inputs=norm == 255, axis=axis)
 
 
+def sharded_devgeo_warp_pipeline(img, tables1, tables2, modes, inv,
+                                 out_sz, mesh, *, modes2=None,
+                                 max_sigma: float = 10.0, norm: int = 255,
+                                 interval: int = 4, axis: str = DATA_AXIS):
+    """Multi-chip DEVICE-GEOMETRY warp: the per-frame matrix operand is
+    the 3×3 inverse alone AND the output is sharded across the mesh.
+
+    Composition of :func:`sharded_dynamic_warp_pipeline` (row-sharded
+    stages → output-sharded rings gather) with
+    ``ops.resample.warp_rings_on_device`` (corner/ring/distance arrays
+    computed in-program).  Written in the pjit-constraint style rather
+    than shard_map: the rings arithmetic is elementwise over the flat
+    output index, so constraining the corner/distance arrays (and the
+    final output) to ``P(axis)`` lets the SPMD partitioner run each
+    chip's slice of the geometry computation locally — each chip derives
+    ITS OWN rings slice from the replicated 9-float inverse, no geometry
+    transfer, no host precompute.  Returns flat [C, N].  Same f32
+    caveats as the single-chip form (BASELINE "Device-geometry warp")."""
+    from ..ops.lut_pipeline import split_gaussian_hyper
+    from ..ops.resample import (gauss_rings_accumulate, gauss_rings_planes,
+                                pack_rings_operand, split_rings_rows,
+                                warp_rings_on_device)
+
+    feat, hyper = lut_stages_sharded(img, tables1, tables2, modes, mesh,
+                                     modes2=modes2, axis=axis,
+                                     interval=interval, norm=norm)
+    rho, sx, sy = split_gaussian_hyper(hyper, norm)
+    feat, rho, sx, sy = _replicate_once(mesh, feat, rho, sx, sy)
+    in_sz = img.shape[-2:]
+    rings = warp_rings_on_device(inv, in_sz, out_sz)
+    nshard = NamedSharding(mesh, P(axis))
+    corner = jax.lax.with_sharding_constraint(rings.corner, nshard)
+    dis_x = jax.lax.with_sharding_constraint(
+        rings.dis_x, NamedSharding(mesh, P(axis, None)))
+    dis_y = jax.lax.with_sharding_constraint(
+        rings.dis_y, NamedSharding(mesh, P(axis, None)))
+    planes = gauss_rings_planes(feat, rho, sx, sy, max_sigma=max_sigma,
+                                u8_inputs=norm == 255)
+    packed = jax.lax.with_sharding_constraint(
+        pack_rings_operand(planes, rings), NamedSharding(mesh, P()))
+    rows = jnp.take(packed, corner, axis=0)            # [N, k] sharded on N
+    gathered = split_rings_rows(rows, len(planes), planes[0].shape[0])
+    out = gauss_rings_accumulate(gathered, dis_x, dis_y,
+                                 max_sigma=max_sigma,
+                                 u8_inputs=norm == 255)
+    out = jax.lax.with_sharding_constraint(out, NamedSharding(
+        mesh, P(axis, None)))
+    return out.T                                       # [C, N]
+
+
 # ---------------------------------------------------------------------------
 # dynamic-scale (rings) resize, output-row-sharded
 # ---------------------------------------------------------------------------

@@ -445,3 +445,48 @@ def test_imdn_halo_exchange_matches_single_device():
     n_ag = hlo.count(" all-gather(") + hlo.count(" all-gather-start(")
     assert n_cp == 2, f"halo exchange emits {n_cp} collective-permutes"
     assert n_ag == 0, f"stage computation emits {n_ag} all-gathers"
+
+
+def test_sharded_devgeo_warp_matches_single_device():
+    """Multi-chip device-geometry warp (pjit-constraint composition:
+    in-program rings sharded on the flat output axis) must match the
+    single-device device-geometry rings path; same tolerance class as the
+    other sharded forms."""
+    from lerf_tpu.ops.lut_pipeline import (build_packed_tables, lut_stage1,
+                                           lut_stage2, split_gaussian_hyper)
+    from lerf_tpu.ops.resample import (steering_gaussian_warp_rings,
+                                       warp_rings_on_device)
+    from lerf_tpu.parallel import make_mesh, sharded_devgeo_warp_pipeline
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(17)
+    L4 = 17 ** 4
+    modes = ("s", "c", "t")
+    s1 = build_packed_tables(
+        {m: rng.randint(-127, 128, (L4, 1)).astype(np.int8) for m in modes},
+        modes)
+    s2 = build_packed_tables(
+        {f"{m}r{r}": rng.randint(-127, 128, (L4, 3)).astype(np.int8)
+         for m in modes for r in (0, 1)}, modes, split_r=True)
+    h, w = 22, 19
+    oh, ow = 32, 24                    # N = 768, divisible by 8
+    img = jnp.asarray(rng.randint(0, 256, (3, h, w)).astype(np.int32))
+    mat = np.array([[1.1, 0.02, 3.0], [0.01, 0.95, -2.0],
+                    [1e-4, 2e-5, 1.0]])
+    inv = jnp.asarray(np.linalg.inv(mat).astype(np.float32))
+
+    feat = lut_stage1(img, s1, modes)
+    hyper = lut_stage2(feat, s2, modes)
+    rho, sx, sy = split_gaussian_hyper(hyper)
+    want = np.asarray(jax.jit(lambda *a: steering_gaussian_warp_rings(
+        *a, warp_rings_on_device(inv, (h, w), (oh, ow)), max_sigma=10.0,
+        u8_inputs=True))(feat, rho, sx, sy))
+
+    got = np.asarray(jax.jit(lambda im, iv: sharded_devgeo_warp_pipeline(
+        im, s1, s2, modes, iv, (oh, ow), mesh))(img, inv))
+    nan_w, nan_g = np.isnan(want), np.isnan(got)
+    np.testing.assert_array_equal(nan_g, nan_w)
+    np.testing.assert_allclose(np.nan_to_num(want), np.nan_to_num(got),
+                               rtol=2e-5, atol=1e-4)
