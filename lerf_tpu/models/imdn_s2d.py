@@ -266,11 +266,14 @@ def predict_imdn2_s2d(p2: Dict, x: jnp.ndarray, stage: int, *, block: int,
 TOWER_SPATIAL_CONVS = 22
 
 
-def tower_halo_rows(block: int) -> int:
+def tower_halo_rows() -> int:
     """Image rows of band-edge halo ONE tower run needs for its interior
-    output rows to be exact: each s2d-space conv extends edge garbage by
-    one s2d row = ``block`` image rows."""
-    return TOWER_SPATIAL_CONVS * block
+    output rows to be exact — independent of backend and s2d block: the
+    s2d conversion preserves the image-space 3×3 receptive field (the
+    converted kernel's extra taps are zero), so a corrupted input row
+    spreads exactly ±22 image rows for block 1, 2, and 3 alike (measured:
+    corrupt row r → garbage rows r−22..r+22, every block/alignment)."""
+    return TOWER_SPATIAL_CONVS
 
 
 def make_chw_stage_fns(variables: Dict, *, backend: str, block: int = 2,

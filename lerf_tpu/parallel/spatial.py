@@ -578,8 +578,10 @@ def imdn_stages_sharded(img, variables, mesh, *, backend: str = "base",
     collective), but the halo is sized to the CONV RECEPTIVE FIELD instead
     of ``MAX_PAD``: each IMDN_RTC tower chains 22 spatial 3×3 convs
     (models/imdn_s2d.TOWER_SPATIAL_CONVS — reference model.py:480-523), so
-    band-edge garbage reaches ``22·block`` image rows per tower and each
-    chip recomputes a ``(two stages)·22·block``-row halo in place of a
+    band-edge garbage reaches 22 image rows per tower — for EVERY backend:
+    the s2d conversion preserves the image-space receptive field, measured
+    in ``tower_halo_rows`` — and each chip recomputes a
+    ``(two stages)·22``-row halo in place of a
     per-conv halo exchange (bounded re-compute: identical arithmetic on
     the kept rows, zero collectives — at the ~1080-row frames this path
     targets, the halo is small next to ``H/n_chips``).
@@ -612,8 +614,7 @@ def imdn_stages_sharded(img, variables, mesh, *, backend: str = "base",
         cfg = [(0, 0)] * (img.ndim - 2) + [(0, hp - h), (0, 0)]
         img = jnp.pad(img, cfg)        # zero rows — re-masked anyway
     rows = hp // n
-    halo = (2 if two_stage else 1) * tower_halo_rows(
-        block if backend == "s2d" else 1)
+    halo = (2 if two_stage else 1) * tower_halo_rows()
     band = min(rows + 2 * halo, hp)
 
     def local(img_rep, p_rep):
@@ -674,7 +675,7 @@ def imdn_stages_sharded_exchange(img_sharded, variables, mesh, *,
     ``img_sharded``: [..., C, H, W] float in 0..255 with H divided evenly
     over ``mesh`` (shard or constrain it with ``P(..., axis, None)``).
     ``true_h`` masks rows ≥ true_h as beyond-image (default H).  Requires
-    ``H/n ≥ halo`` (= stages·22·block rows) — single-hop neighbors must
+    ``H/n ≥ halo`` (= stages·22 rows) — single-hop neighbors must
     cover the receptive field; smaller slabs should use the replicated
     path.  Returns (feat, hyper) row-sharded like the band variant.
     """
@@ -691,8 +692,7 @@ def imdn_stages_sharded_exchange(img_sharded, variables, mesh, *,
     if h % n:
         raise ValueError(f"H={h} must divide over {n} devices (pad first)")
     rows = h // n
-    halo = (2 if two_stage else 1) * tower_halo_rows(
-        block if backend == "s2d" else 1)
+    halo = (2 if two_stage else 1) * tower_halo_rows()
     if rows < halo:
         raise ValueError(
             f"slab of {rows} rows < halo {halo}: single-hop exchange "
