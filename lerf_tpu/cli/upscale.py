@@ -44,7 +44,8 @@ class UpscaleConfig(TestConfig):
 
 
 def build_predictor(cfg: UpscaleConfig):
-    if cfg.form == "auto":
+    auto = cfg.form == "auto"
+    if auto:
         # fastest form whose artifacts exist (README "Choosing a serving
         # form"): a network checkpoint serves ~2.4-4x the LUT form's
         # MP/s; the int8 LUT bank is the bit-parity deploy and the
@@ -55,7 +56,20 @@ def build_predictor(cfg: UpscaleConfig):
         cfg.form = "net" if has_ckpt else "lut"
     if cfg.form == "net":
         from .eval_model import build_predictor as build_net
-        return build_net(cfg)
+
+        try:
+            return build_net(cfg)
+        except Exception as e:
+            # "artifacts exist" is a path check; the BUILD can still fail
+            # (torch absent for a .pth — it's an optional extra — or an
+            # orbax step mismatch).  Under --form auto a present LUT bank
+            # serves fine, so fall back instead of crashing; an explicit
+            # --form net keeps the error.
+            if not auto:
+                raise
+            print(f"upscale: net form unavailable ({e!r}); "
+                  f"falling back to the LUT bank", flush=True)
+            cfg.form = "lut"
     from ..pipeline import LutPredictor
 
     return LutPredictor.from_config(cfg)

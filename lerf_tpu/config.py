@@ -61,7 +61,13 @@ def enable_jit_cache():
         # persistent compilation cache entry ... -atime"), which costs far
         # more than the disk.  Any bound must exceed the working set or
         # every new entry evicts instantly and the warm cache self-defeats.
-        max_sz = int(os.environ.get("LERF_JIT_CACHE_MAX", "0"))
+        raw = os.environ.get("LERF_JIT_CACHE_MAX", "0")
+        try:
+            max_sz = int(raw)
+        except ValueError:
+            raise ValueError(
+                f"LERF_JIT_CACHE_MAX={raw!r}: must be an integer byte "
+                f"count (0 disables the bound)") from None
         if max_sz > 0:
             jax.config.update("jax_compilation_cache_max_size", max_sz)
 

@@ -1059,7 +1059,27 @@ def _mask_from_grid(grid_x, grid_y, in_sz, border: int = 4):
     return (weight * neigh) == 255.0
 
 
-def warp_rings_on_device(inv, in_sz, out_sz):
+def _device_warp_grid(inv, in_sz, out_sz):
+    """Shared f32 projective grid of the device-geometry ops (the one
+    source for :func:`warp_rings_on_device` and
+    :func:`nearest_warp_mask_on_device` — rings and mask must never
+    desynchronize).  ``out_sz`` is the STATIC program rectangle;
+    ``in_sz`` entries may be traced scalars (bucketed serving) — they
+    enter only as clip bounds.  Returns ([oh, ow] row coord,
+    [oh, ow] col coord)."""
+    oh, ow = (int(v) for v in out_sz)
+    inv = jnp.asarray(inv, jnp.float32)
+    xs = jnp.arange(ow, dtype=jnp.float32)           # width coord, per col
+    ys = jnp.arange(oh, dtype=jnp.float32)[:, None]  # height coord, per row
+    den = (inv[2, 0] * xs + inv[2, 2]) + inv[2, 1] * ys
+    sx = ((inv[0, 0] * xs + inv[0, 2]) + inv[0, 1] * ys) / den
+    sy = ((inv[1, 0] * xs + inv[1, 2]) + inv[1, 1] * ys) / den
+    grid_x = jnp.clip(sy, 0.0, jnp.asarray(in_sz[0], jnp.float32))
+    grid_y = jnp.clip(sx, 0.0, jnp.asarray(in_sz[1], jnp.float32))
+    return grid_x, grid_y
+
+
+def warp_rings_on_device(inv, in_sz, out_sz, *, in_frame=None):
     """Compute :class:`WarpRings` INSIDE the program from the traced
     inverse homography — dynamic-warp serving with (almost) no per-frame
     operand transfer.
@@ -1085,36 +1105,41 @@ def warp_rings_on_device(inv, in_sz, out_sz):
     for :func:`steering_gaussian_warp_rings` (Gaussian only: the
     amplified-linear branch masks require float64 boundary decisions and
     stay host-built).
-    """
-    inh, inw = (int(v) for v in in_sz)
-    oh, ow = (int(v) for v in out_sz)
-    eps = jnp.float32(np.finfo(np.float32).eps)
-    inv = jnp.asarray(inv, jnp.float32)
-    xs = jnp.arange(ow, dtype=jnp.float32)           # width coord, per col
-    ys = jnp.arange(oh, dtype=jnp.float32)[:, None]  # height coord, per row
-    den = (inv[2, 0] * xs + inv[2, 2]) + inv[2, 1] * ys
-    sx = ((inv[0, 0] * xs + inv[0, 2]) + inv[0, 1] * ys) / den
-    sy = ((inv[1, 0] * xs + inv[1, 2]) + inv[1, 1] * ys) / den
-    grid_x = jnp.clip(sy, 0.0, float(inh))           # [oh, ow] row coord
-    grid_y = jnp.clip(sx, 0.0, float(inw))           # col coord
 
-    def axis(grid, in_n):
+    ``in_frame=(hb, wb)`` builds the rings in a BUCKET frame (the
+    in-program analog of :func:`rings_for_bucket`): array shapes come
+    from the static frame while the clip bounds use the traced true
+    ``in_sz``, so one program serves every image shape in the bucket and
+    ``out_sz`` becomes the padded output rectangle the caller crops.
+    Identical arithmetic on the true region — same values as the
+    unbucketed program (tests/test_dynamic_warp.py devgeo-bucket case).
+    """
+    if in_frame is None:
+        in_sz = tuple(int(v) for v in in_sz)
+        in_frame = in_sz
+    fh, fw = (int(v) for v in in_frame)
+    eps = jnp.float32(np.finfo(np.float32).eps)
+    grid_x, grid_y = _device_warp_grid(inv, in_sz, out_sz)
+
+    def axis(grid, in_n, frame_n):
         # _serving_axis, in-program: left/pad0/clip arithmetic on values
         # < 2^24 is exact in f32
+        in_hi = jnp.asarray(in_n, jnp.float32) - 1.0
         left = jnp.ceil(grid - 1.0 - eps)
         pad0 = jnp.maximum(-left[0, 0], 0.0)         # first-pixel quirk
         shifted = grid + pad0
         dis = jnp.stack(
-            [shifted - jnp.clip(left + (j + pad0), 0.0, float(in_n - 1))
+            [shifted - jnp.clip(left + (j + pad0), 0.0, in_hi)
              for j in range(2)], axis=-1).reshape(-1, 2)
         corner = (left + (pad0 + 1.0)).astype(jnp.int32)
-        q = jnp.arange(in_n + 4, dtype=jnp.int32)
-        ring = jnp.clip(q - 1, 0, in_n - 1) - pad0.astype(jnp.int32) + 1
+        q = jnp.arange(frame_n + 4, dtype=jnp.int32)
+        ring = jnp.clip(q - 1, 0, jnp.asarray(in_n, jnp.int32) - 1) \
+            - pad0.astype(jnp.int32) + 1
         return corner, ring, dis
 
-    cx, ring_x, dis_x = axis(grid_x, inh)
-    cy, ring_y, dis_y = axis(grid_y, inw)
-    corner = (cx * (inw + 3) + cy).reshape(-1)
+    cx, ring_x, dis_x = axis(grid_x, in_sz[0], fh)
+    cy, ring_y, dis_y = axis(grid_y, in_sz[1], fw)
+    corner = (cx * (fw + 3) + cy).reshape(-1)        # frame-width stride
     return WarpRings(ring_x, ring_y, corner, dis_x, dis_y)
 
 
@@ -1124,32 +1149,25 @@ def nearest_warp_mask_on_device(inv, in_sz, out_sz, border: int = 4):
     frame (same reduction as ``warp_serving_host_fused``'s mask — both box
     factors 1 AND the clipped nearest index inside the white region), with
     the f32 grid shared with :func:`warp_rings_on_device`'s caveats.
-    Returns [outH, outW] bool."""
-    inh, inw = (int(v) for v in in_sz)
-    oh, ow = (int(v) for v in out_sz)
+    ``in_sz`` may be traced (bucketed serving — shapes come from
+    ``out_sz``, the padded rectangle).  Returns [outH, outW] bool."""
     eps = jnp.float32(np.finfo(np.float32).eps)
-    inv = jnp.asarray(inv, jnp.float32)
-    xs = jnp.arange(ow, dtype=jnp.float32)
-    ys = jnp.arange(oh, dtype=jnp.float32)[:, None]
-    den = (inv[2, 0] * xs + inv[2, 2]) + inv[2, 1] * ys
-    sx = ((inv[0, 0] * xs + inv[0, 2]) + inv[0, 1] * ys) / den
-    sy = ((inv[1, 0] * xs + inv[1, 2]) + inv[1, 1] * ys) / den
-    grid_x = jnp.clip(sy, 0.0, float(inh))
-    grid_y = jnp.clip(sx, 0.0, float(inw))
+    grid_x, grid_y = _device_warp_grid(inv, in_sz, out_sz)
 
     def axis(grid, in_n):
+        in_hi = jnp.asarray(in_n, jnp.float32) - 1.0
         left = jnp.ceil(grid - 0.5 - eps)            # support-1 FOV
         pad0 = jnp.maximum(-left[0, 0], 0.0)
-        idx = jnp.clip(left + pad0, 0.0, float(in_n - 1))
+        idx = jnp.clip(left + pad0, 0.0, in_hi)
         d = (grid + pad0) - idx
         # box(d) == 1 ⇔ d ∈ [-1, 1] (interp_kernels.box — support [-1, 1],
         # closed above: interp_methods.py:68-70)
         inside = (-1.0 <= d) & (d <= 1.0)
         src = idx - pad0                             # unpadded source index
-        white = (src >= border) & (src <= in_n - 1 - border)
+        white = (src >= border) & (src <= in_hi - border)
         return inside & white
 
-    return axis(grid_x, inh) & axis(grid_y, inw)
+    return axis(grid_x, in_sz[0]) & axis(grid_y, in_sz[1])
 
 
 def nearest_warp_mask_host(in_sz, matrix, out_sz, border: int = 4):
@@ -1479,6 +1497,10 @@ def _resolve_nd_spec(in_shape, scale_factors, out_shape):
     if scale_factors is None and out_shape is None:
         raise ValueError("need scale_factors and/or out_shape")
     if out_shape is not None:
+        if len(out_shape) > nd:
+            raise ValueError(
+                f"out_shape has {len(out_shape)} entries for a "
+                f"{nd}-d array (the vendored resize_right errors here too)")
         out_shape = list(in_shape[:nd - len(out_shape)]) \
             + [int(v) for v in out_shape]
         if scale_factors is None:
@@ -1486,6 +1508,10 @@ def _resolve_nd_spec(in_shape, scale_factors, out_shape):
     if scale_factors is not None:
         if not isinstance(scale_factors, (list, tuple)):
             scale_factors = [scale_factors, scale_factors]
+        if len(scale_factors) > nd:
+            raise ValueError(
+                f"scale_factors has {len(scale_factors)} entries for a "
+                f"{nd}-d array")
         scale_factors = [1.0] * (nd - len(scale_factors)) \
             + [float(s) for s in scale_factors]
         if out_shape is None:

@@ -722,8 +722,29 @@ class NetPredictor:
             self._warp_dyn_cache[key] = run
         return self._warp_dyn_cache[key]
 
+    def _warp_devgeo_bucket_fn(self, in_bucket, out_bucket):
+        key = ("devgeo_bucket", in_bucket, out_bucket)
+        if key not in self._warp_dyn_cache:
+
+            @jax.jit
+            def run(img_f, inv, h, w):
+                rings = warp_rings_on_device(inv, (h, w), out_bucket,
+                                             in_frame=in_bucket)
+                mask = nearest_warp_mask_on_device(inv, (h, w), out_bucket,
+                                                   border=4)
+                feat, hyper = self._stages(img_f, clamp_hw=(h, w))
+                out = steering_gaussian_warp_rings(
+                    feat, hyper[..., 0], hyper[..., 1], hyper[..., 2],
+                    rings, out_sz=out_bucket, max_sigma=self.max_sigma,
+                    u8_inputs=self.hyper_u8)
+                return _quantize_device(out, self.norm, nan_to_zero=True), \
+                    mask
+
+            self._warp_dyn_cache[key] = run
+        return self._warp_dyn_cache[key]
+
     def warp_device_async(self, img_hwc: np.ndarray, matrix: np.ndarray,
-                          out_hw: Tuple[int, int]):
+                          out_hw: Tuple[int, int], granularity: int = 0):
         """Non-blocking :meth:`warp_device`."""
         matrix = np.asarray(matrix)
         if self.supp_size != 2 or self.linear:
@@ -734,6 +755,27 @@ class NetPredictor:
         in_sz = img.shape[:2]
         out_hw = tuple(int(v) for v in out_hw)
         inv = np.linalg.inv(matrix.astype(np.float64)).astype(np.float32)
+        if granularity > 0 and self._bucketable:
+            g = int(granularity)
+            hb, wb = -(-in_sz[0] // g) * g, -(-in_sz[1] // g) * g
+            ohb, owb = -(-out_hw[0] // g) * g, -(-out_hw[1] // g) * g
+            padded = np.pad(img, ((0, hb - in_sz[0]), (0, wb - in_sz[1]),
+                                  (0, 0)), mode="edge")
+            chw = np.ascontiguousarray(padded.transpose(2, 0, 1)) \
+                .astype(np.float32) / self.norm
+            run = self._warp_devgeo_bucket_fn((hb, wb), (ohb, owb))
+            out, mask = run(jnp.asarray(chw), jnp.asarray(inv),
+                            jnp.asarray(in_sz[0], jnp.int32),
+                            jnp.asarray(in_sz[1], jnp.int32))
+            _copy_host_async(out, mask)
+
+            def finish_bucket():
+                oh, ow = out_hw
+                return (_quantize_host(out, self.norm)[:, :oh, :ow]
+                        .transpose(1, 2, 0),
+                        np.asarray(mask)[:oh, :ow])
+
+            return ServingFuture(finish_bucket)
         chw = np.ascontiguousarray(img.transpose(2, 0, 1)) \
             .astype(np.float32) / self.norm
         run = self._warp_devgeo_fn(in_sz, out_hw)
@@ -747,12 +789,14 @@ class NetPredictor:
         return ServingFuture(finish)
 
     def warp_device(self, img_hwc: np.ndarray, matrix: np.ndarray,
-                    out_hw: Tuple[int, int]):
+                    out_hw: Tuple[int, int], granularity: int = 0):
         """DEVICE-GEOMETRY warp serving for the net forms — rings +
         validity mask computed in-program from the traced 3×3 inverse
         (see :meth:`LutPredictor.warp_device`; same construction, same
-        f32 caveats, same per-link decision)."""
-        return self.warp_device_async(img_hwc, matrix, out_hw).result()
+        f32 caveats, same per-link decision, same ``granularity``
+        bucketing)."""
+        return self.warp_device_async(img_hwc, matrix, out_hw,
+                                      granularity).result()
 
     def _warp_batch_fn(self, batch, in_sz, out_sz):
         key = ("batch", batch, in_sz, out_sz)
@@ -1385,8 +1429,29 @@ class LutPredictor:
             self._warp_dyn_cache[key] = run
         return self._warp_dyn_cache[key]
 
+    def _warp_devgeo_bucket_fn(self, in_bucket, out_bucket):
+        key = ("devgeo_bucket", in_bucket, out_bucket)
+        if key not in self._warp_dyn_cache:
+
+            @jax.jit
+            def run(img_i32, inv, h, w):
+                rings = warp_rings_on_device(inv, (h, w), out_bucket,
+                                             in_frame=in_bucket)
+                mask = nearest_warp_mask_on_device(inv, (h, w), out_bucket,
+                                                   border=4)
+                feat, hyper = self._stages_fn(img_i32, clamp_hw=(h, w))
+                out = steering_gaussian_warp_rings(
+                    feat, hyper[..., 0], hyper[..., 1], hyper[..., 2],
+                    rings, out_sz=out_bucket, max_sigma=self.max_sigma,
+                    u8_inputs=True)
+                return _quantize_device(out, self.norm, nan_to_zero=True), \
+                    mask
+
+            self._warp_dyn_cache[key] = run
+        return self._warp_dyn_cache[key]
+
     def warp_device_async(self, img_hwc: np.ndarray, matrix: np.ndarray,
-                          out_hw: Tuple[int, int]):
+                          out_hw: Tuple[int, int], granularity: int = 0):
         """Non-blocking :meth:`warp_device`."""
         matrix = np.asarray(matrix)
         if self.supp_size != 2 or self.norm != 255 or self.linear:
@@ -1397,6 +1462,27 @@ class LutPredictor:
         in_sz = img.shape[:2]
         out_hw = tuple(int(v) for v in out_hw)
         inv = np.linalg.inv(matrix.astype(np.float64)).astype(np.float32)
+        if granularity > 0:
+            g = int(granularity)
+            hb, wb = -(-in_sz[0] // g) * g, -(-in_sz[1] // g) * g
+            ohb, owb = -(-out_hw[0] // g) * g, -(-out_hw[1] // g) * g
+            padded = np.pad(img, ((0, hb - in_sz[0]), (0, wb - in_sz[1]),
+                                  (0, 0)), mode="edge")
+            chw = np.ascontiguousarray(padded.transpose(2, 0, 1)) \
+                .astype(np.int32)
+            run = self._warp_devgeo_bucket_fn((hb, wb), (ohb, owb))
+            out, mask = run(jnp.asarray(chw), jnp.asarray(inv),
+                            jnp.asarray(in_sz[0], jnp.int32),
+                            jnp.asarray(in_sz[1], jnp.int32))
+            _copy_host_async(out, mask)
+
+            def finish_bucket():
+                oh, ow = out_hw
+                return (_quantize_host(out, self.norm)[:, :oh, :ow]
+                        .transpose(1, 2, 0),
+                        np.asarray(mask)[:oh, :ow])
+
+            return ServingFuture(finish_bucket)
         chw = np.ascontiguousarray(img.transpose(2, 0, 1)).astype(np.int32)
         run = self._warp_devgeo_fn(in_sz, out_hw)
         out, mask = run(jnp.asarray(chw), jnp.asarray(inv))
@@ -1409,7 +1495,7 @@ class LutPredictor:
         return ServingFuture(finish)
 
     def warp_device(self, img_hwc: np.ndarray, matrix: np.ndarray,
-                    out_hw: Tuple[int, int]):
+                    out_hw: Tuple[int, int], granularity: int = 0):
         """DEVICE-GEOMETRY homographic warp serving: the per-frame matrix
         operand is the 3×3 inverse alone — no corner/distance upload
         (~20 B/output-px with :meth:`warp_dynamic`) and no host geometry
@@ -1418,12 +1504,19 @@ class LutPredictor:
 
         One compiled program per (in_sz, out_sz), any matrix — the same
         program identity as :meth:`warp_dynamic`, minus its operand
-        transfer.  NOT bit-equal to the float64 host-geometry paths: the
-        f32 in-program projective divide can flip ceil/box boundaries at a
-        ~1e-4-px scale (measured Set5 quality deltas: BASELINE.md
-        "Device-geometry warp").  Gaussian deploy config only (support 2,
-        norm 255, non-linear); other configs fall back to :meth:`warp`."""
-        return self.warp_device_async(img_hwc, matrix, out_hw).result()
+        transfer.  ``granularity=g>0`` buckets BOTH rectangles (input
+        edge-padded with stages re-clamped, output padded and host-
+        cropped), making the form fully recompile-free: one program per
+        (in-bucket, out-bucket) serves any shape pair and any matrix —
+        bit-equal to the unbucketed device-geometry program
+        (tests/test_dynamic_warp.py).  NOT bit-equal to the float64
+        host-geometry paths: the f32 in-program projective divide can
+        flip ceil/box boundaries at a ~1e-4-px scale (measured Set5
+        quality deltas: BASELINE.md "Device-geometry warp").  Gaussian
+        deploy config only (support 2, norm 255, non-linear); other
+        configs fall back to :meth:`warp`."""
+        return self.warp_device_async(img_hwc, matrix, out_hw,
+                                      granularity).result()
 
     def _warp_devgeo_batch_fn(self, batch, in_sz, out_sz):
         key = ("devgeo_batch", batch, in_sz, out_sz)
@@ -1494,6 +1587,9 @@ class LutPredictor:
         if matrices.ndim == 2:
             matrices = np.broadcast_to(matrices, (imgs.shape[0], 3, 3))
         out_hw = tuple(int(v) for v in out_hw)
+        if geometry not in ("host", "device"):
+            raise ValueError(
+                f"geometry={geometry!r}: must be 'host' or 'device'")
         if self.supp_size != 2 or self.norm != 255 \
                 or (geometry == "device" and self.linear):
             outs, masks = zip(*(self.warp(imgs[i], matrices[i], out_hw)

@@ -49,12 +49,15 @@ def stream_warp(predictor, requests, out_hw, *, granularity: int = 0,
 
     Yields ``(out_u8, mask)`` per request, in order.
     """
+    if geometry not in ("host", "device"):
+        raise ValueError(f"geometry={geometry!r}: must be 'host' or 'device'")
     use_dev = geometry == "device" and hasattr(predictor,
                                                "warp_device_async")
     q = deque()
     for img, matrix in requests:
         if use_dev:
-            q.append(predictor.warp_device_async(img, matrix, out_hw))
+            q.append(predictor.warp_device_async(img, matrix, out_hw,
+                                                 granularity=granularity))
         else:
             q.append(predictor.warp_dynamic_async(img, matrix, out_hw,
                                                   granularity=granularity))

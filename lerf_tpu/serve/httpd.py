@@ -118,6 +118,9 @@ class _State:
         # "device" routes /v1/warp through warp_device_async (in-program
         # rings from the 3×3 inverse — 36 B matrix operand, no host
         # geometry pass; README "Choosing a serving form")
+        if geometry not in ("host", "device"):
+            raise ValueError(
+                f"geometry={geometry!r}: must be 'host' or 'device'")
         self.geometry = geometry
         self.max_body_bytes = max_body_bytes
         self.dispatch_lock = threading.Lock()
@@ -295,7 +298,8 @@ def _build_handler(state: _State):
                 with state.dispatch_lock:
                     if use_devgeo:
                         fut = state.pred.warp_device_async(
-                            img, matrix, (oh, ow))
+                            img, matrix, (oh, ow),
+                            granularity=state.granularity)
                     else:
                         fut = state.pred.warp_dynamic_async(
                             img, matrix, (oh, ow),

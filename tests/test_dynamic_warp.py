@@ -411,6 +411,41 @@ def test_warp_batch_device_geometry_matches_single():
         np.testing.assert_array_equal(mask[i], w_mask)
 
 
+def test_warp_device_bucketed_bit_equal_and_one_program():
+    """Bucketed device-geometry warp (granularity>0: input edge-padded
+    with stages re-clamped, output rectangle padded and host-cropped,
+    rings built in the bucket frame — warp_rings_on_device in_frame=) must
+    be BIT-equal to the unbucketed device-geometry program, and one
+    (in-bucket, out-bucket) program must serve every shape pair in the
+    buckets and every matrix."""
+    pred = shared_lut_predictor()
+    rng = np.random.RandomState(11)
+    shapes = [(IN_SZ, OUT_SZ), ((33, 41), (50, 38))]   # same 16-buckets
+    for m in _matrices()[:2]:
+        for in_sz, out_sz in shapes:
+            img = rng.randint(0, 256, (*in_sz, 3), dtype=np.uint8)
+            want_out, want_mask = pred.warp_device(img, m, out_sz)
+            got_out, got_mask = pred.warp_device(img, m, out_sz,
+                                                 granularity=16)
+            np.testing.assert_array_equal(got_out, want_out)
+            np.testing.assert_array_equal(got_mask, want_mask)
+    assert sum(1 for k in pred._warp_dyn_cache
+               if k[0] == "devgeo_bucket") == 1
+
+
+def test_net_warp_device_bucketed_bit_equal():
+    """NetPredictor (SRNet replicate-pad form): bucketed device-geometry
+    warp equals the unbucketed device-geometry program bit-for-bit."""
+    pred = shared_net_predictor()
+    rng = np.random.RandomState(12)
+    img = rng.randint(0, 256, (*IN_SZ, 3), dtype=np.uint8)
+    m = _matrices()[0]
+    want_out, want_mask = pred.warp_device(img, m, OUT_SZ)
+    got_out, got_mask = pred.warp_device(img, m, OUT_SZ, granularity=16)
+    np.testing.assert_array_equal(got_out, want_out)
+    np.testing.assert_array_equal(got_mask, want_mask)
+
+
 def test_net_warp_device_geometry_close_to_host():
     """NetPredictor.warp_device (both SRNet u8-row and IMDN float-row
     configs) vs the host-geometry dynamic path — same bounded-boundary

@@ -23,9 +23,6 @@ OUT_SZ = (52, 40)
 MAT = np.array([[1.1, 0.02, 3.0], [0.01, 0.95, -2.0], [1e-4, 2e-5, 1.0]])
 
 
-_PRED = None
-
-
 def _lut_predictor():
     # the conftest process-wide canonical predictor (same seed-7 bank this
     # module always used): dynamic programs traced by the serving suites
@@ -436,6 +433,13 @@ def test_serve_cli_builds_daemon(tmp_path):
     with urllib.request.urlopen(base + "/healthz", timeout=60) as resp:
         assert json.loads(resp.read())["granularity"] == 16
     server.shutdown()
+
+
+def test_bad_geometry_rejected_at_startup():
+    """A geometry typo ("devcie") must fail server construction loudly,
+    not silently serve the host path."""
+    with pytest.raises(ValueError, match="geometry"):
+        make_server(_lut_predictor(), port=0, geometry="devcie")
 
 
 def test_warp_device_geometry_daemon():

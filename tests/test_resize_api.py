@@ -159,3 +159,10 @@ def test_resize_nd_out_shape_and_by_convs():
     got4 = np.asarray(resize(jnp.asarray(batch, jnp.float32),
                              out_shape=[4, 10, 45], interp_method="cubic"))
     assert got4.shape == (2, 4, 10, 45)
+    # a spec LONGER than the array rank must error (the vendored original
+    # errors too), not silently resolve against truncated dims
+    with pytest.raises(ValueError, match="entries"):
+        resize(jnp.asarray(vol, jnp.float32), out_shape=[2, 4, 10, 45])
+    with pytest.raises(ValueError, match="entries"):
+        resize(jnp.asarray(vol, jnp.float32),
+               scale_factors=[1.0, 0.5, 2.0, 1.5])

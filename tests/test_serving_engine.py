@@ -255,6 +255,19 @@ def test_upscale_cli_form_auto(tmp_path, monkeypatch):
     assert up.build_predictor(cfg) == "netpred"
     assert cfg.form == "net" and "net" in calls
 
+    # "artifacts exist" is a path probe; if the net BUILD fails (torch
+    # absent, orbax step mismatch) auto must fall back to the present
+    # LUT bank instead of crashing — explicit --form net keeps the error
+    monkeypatch.setattr(
+        "lerf_tpu.cli.eval_model.build_predictor",
+        lambda c: (_ for _ in ()).throw(ImportError("no torch")))
+    cfg = up.UpscaleConfig(exp_dir=str(exp), form="auto")
+    pred = up.build_predictor(cfg)
+    assert cfg.form == "lut" and isinstance(pred, LutPredictor)
+    cfg = up.UpscaleConfig(exp_dir=str(exp), form="net")
+    with pytest.raises(ImportError):
+        up.build_predictor(cfg)
+
 
 def test_stream_warp_device_geometry_matches_sequential():
     """geometry="device" streams through warp_device_async; ordering and
@@ -270,3 +283,23 @@ def test_stream_warp_device_geometry_matches_sequential():
     for (wo, wm), (go, gm) in zip(want, got):
         np.testing.assert_array_equal(wo, go)
         np.testing.assert_array_equal(wm, gm)
+
+
+def test_stream_warp_device_geometry_bucketed_mixed_shapes():
+    """geometry="device" + granularity>0: a mixed-shape stream rides ONE
+    bucketed device-geometry program (36 B of per-frame operand, zero
+    recompiles) — values equal the sequential bucketed warp_device."""
+    pred = shared_lut_predictor()
+    rng = np.random.RandomState(29)
+    shapes = [(37, 45), (33, 41)]
+    mats = _matrices()[:2]
+    frames = [rng.randint(0, 256, (*s, 3), dtype=np.uint8) for s in shapes]
+    want = [pred.warp_device(f, m, OUT_SZ, granularity=16)
+            for f, m in zip(frames, mats)]
+    got = list(stream_warp(pred, zip(frames, mats), OUT_SZ, depth=2,
+                           geometry="device", granularity=16))
+    for (wo, wm), (go, gm) in zip(want, got):
+        np.testing.assert_array_equal(wo, go)
+        np.testing.assert_array_equal(wm, gm)
+    assert len([k for k in pred._warp_dyn_cache
+                if k[0] == "devgeo_bucket"]) == 1
