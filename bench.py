@@ -422,6 +422,39 @@ def bench_warp_devgeo(h, w, scale=SCALE, iters=40, n_matrices=6):
     return times[len(times) // 2], n_matrices
 
 
+def bench_warp_devgeo_bucket(h, w, scale=SCALE, iters=40, n_matrices=6,
+                             g=64):
+    """BUCKETED device-geometry warp (warp_device granularity>0): mixed
+    input shapes within one bucket + distinct matrices through ONE
+    program — the fully recompile-free, 36 B/frame-operand warp form
+    (rings built in-program in the bucket frame,
+    ops.resample.warp_rings_on_device in_frame=)."""
+    from lerf_tpu.pipeline import LutPredictor
+
+    pred = LutPredictor(_load_bank())
+    out_hw = (h * scale, w * scale)
+    rng = np.random.RandomState(0)
+    shapes = [(h, w), (h - 23, w - 39)]     # same g-bucket, distinct shapes
+    assert [-(-v // g) for v in shapes[0]] == [-(-v // g) for v in shapes[1]]
+    imgs = [rng.randint(0, 256, (*s, 3), dtype=np.uint8) for s in shapes]
+    mats = [np.eye(3) + rng.randn(3, 3)
+            * np.array([[.05, .05, 4.0], [.05, .05, 4.0], [1e-4, 1e-4, 0.0]])
+            for _ in range(n_matrices)]
+    for i in range(2):                                  # compile + warm
+        pred.warp_device(imgs[i], mats[i], out_hw, granularity=g)
+    assert sum(1 for k in pred._warp_dyn_cache
+               if k[0] == "devgeo_bucket") == 1, \
+        "shapes and matrices must share one bucket program"
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        pred.warp_device(imgs[i % 2], mats[i % n_matrices], out_hw,
+                         granularity=g)
+        times.append((time.perf_counter() - t0) * 1e3)
+    times.sort()
+    return times[len(times) // 2], n_matrices
+
+
 def bench_warp_stream_devgeo(h, w, scale=SCALE, frames=24, n_matrices=6,
                              depth=2):
     """Pipelined DEVICE-GEOMETRY warp stream: per-frame host work is just
@@ -676,6 +709,9 @@ def fam_warp_dynamic():
     p50, nmats = bench_warp_devgeo(LR_H, LR_W)
     emit("lerf_g_lut_warp_x4_devgeo_matrix_latency_p50", p50,
          unit=f"ms_across_{nmats}_homographies_one_program")
+    p50, nmats = bench_warp_devgeo_bucket(LR_H, LR_W)
+    emit("lerf_g_lut_warp_x4_devgeo_bucket_latency_p50", p50,
+         unit=f"ms_across_shapes_and_{nmats}_homographies_one_program")
 
 
 def fam_stream():

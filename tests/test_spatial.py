@@ -447,6 +447,47 @@ def test_imdn_halo_exchange_matches_single_device():
     assert n_ag == 0, f"stage computation emits {n_ag} all-gathers"
 
 
+def test_imdn_sharded_s2d_halved_halo_bit_exact():
+    """The s2d (production) backend through BOTH sharded tower paths with
+    the block-independent 44-row two-stage halo (imdn_s2d.tower_halo_rows:
+    the s2d conversion preserves the image-space receptive field, so the
+    old 22·block sizing was 2x oversized at block=2) — band and exchange
+    variants must stay BIT-exact vs the single-device s2d stages."""
+    from lerf_tpu.models.imdn import IMDN2
+    from lerf_tpu.models.imdn_s2d import make_chw_stage_fns
+    from lerf_tpu.parallel import (imdn_stages_sharded,
+                                   imdn_stages_sharded_exchange, make_mesh)
+    from lerf_tpu.parallel.mesh import DATA_AXIS
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = IMDN2(in_c=3, out_c=3, nf=12)
+    variables = model.init(jax.random.PRNGKey(7), jnp.zeros((1, 8, 8, 3)), 0)
+    h, w = 320, 16
+    img = np.random.RandomState(1).randint(0, 256, (3, h, w)) \
+        .astype(np.float32)
+    v2, s1, s2 = make_chw_stage_fns(variables, backend="s2d", block=2,
+                                    model=model)
+    x = jnp.asarray(img) / 255.0
+    feat_ref = s1(v2, x)
+    hyper_ref = s2(v2, feat_ref / 255.0)
+
+    feat, hyper = imdn_stages_sharded(jnp.asarray(img), variables,
+                                      make_mesh(8), backend="s2d", block=2)
+    np.testing.assert_array_equal(np.asarray(feat_ref), np.asarray(feat))
+    np.testing.assert_array_equal(np.asarray(hyper_ref), np.asarray(hyper))
+
+    mesh4 = make_mesh(4)                 # 80-row slabs ≥ the 44-row halo
+    sharded = jax.device_put(
+        jnp.asarray(img), NamedSharding(mesh4, P(None, DATA_AXIS, None)))
+    feat_e, hyper_e = imdn_stages_sharded_exchange(
+        sharded, variables, mesh4, backend="s2d", block=2)
+    np.testing.assert_array_equal(np.asarray(feat_ref), np.asarray(feat_e))
+    np.testing.assert_array_equal(np.asarray(hyper_ref),
+                                  np.asarray(hyper_e))
+
+
 def test_sharded_devgeo_warp_matches_single_device():
     """Multi-chip device-geometry warp (pjit-constraint composition:
     in-program rings sharded on the flat output axis) must match the
