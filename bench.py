@@ -434,7 +434,13 @@ def bench_warp_devgeo_bucket(h, w, scale=SCALE, iters=40, n_matrices=6,
     pred = LutPredictor(_load_bank())
     out_hw = (h * scale, w * scale)
     rng = np.random.RandomState(0)
-    shapes = [(h, w), (h - 23, w - 39)]     # same g-bucket, distinct shapes
+    # distinct shapes sharing one g-bucket: step one pixel toward the
+    # bucket interior (±1 never crosses the boundary except from ≡1 mod g,
+    # where +1 stays inside)
+    def off(v):
+        return v + 1 if v % g == 1 else v - 1
+
+    shapes = [(h, w), (off(h), off(w))]
     assert [-(-v // g) for v in shapes[0]] == [-(-v // g) for v in shapes[1]]
     imgs = [rng.randint(0, 256, (*s, 3), dtype=np.uint8) for s in shapes]
     mats = [np.eye(3) + rng.randn(3, 3)
